@@ -1,0 +1,150 @@
+"""Word2vec embedding store (component C4) — device-resident lookup table.
+
+Reference parity: SURVEY.md §3.1 C4 — the reference loaded GoogleNews 300-d
+word2vec via gensim ``KeyedVectors`` (C/Cython inside gensim) and mean-pooled
+token spans per mention in Python.  TPU-native design (SURVEY §3.2 N2):
+
+* the vocabulary lives on host as a dict; token→id happens once at data-prep;
+* the embedding matrix is a single ``float32[V+1, D]`` device array with
+  **row 0 reserved for PAD/OOV = zero vector** (DECISION: OOV words contribute
+  a zero vector and still count in the mean-pool denominator, matching the
+  additive-zero behavior of masked mean over padded ids);
+* lookup is ``jnp.take(table, ids)`` — a gather XLA lays out on-chip — and
+  mean-pool is a masked matmul-free reduction, both fused into the consuming
+  jit program.
+
+File formats supported: word2vec *text* format (optional ``V D`` header line,
+then ``word v1 ... vD``) and the GoogleNews *binary* ``.bin`` format (header
+``V D\\n`` then per-word ``word<space><D float32 LE>``), auto-detected.
+Binary parsing is pure numpy — IO is not a hot path (SURVEY §3.2 N2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PAD_ID = 0
+
+
+class EmbeddingStore:
+    """Vocabulary + float32[V+1, D] table; row 0 is PAD/OOV (zeros)."""
+
+    def __init__(self, vocab: dict[str, int], table: np.ndarray):
+        # vocab maps word -> row index >= 1; table[0] is the PAD/OOV row.
+        self.vocab = vocab
+        self.table = np.asarray(table, dtype=np.float32)
+        assert self.table.ndim == 2 and len(vocab) + 1 == self.table.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.table.shape[1]
+
+    # -- construction ----------------------------------------------------
+    @classmethod
+    def from_arrays(cls, words: list[str], vectors: np.ndarray) -> "EmbeddingStore":
+        vectors = np.asarray(vectors, dtype=np.float32)
+        table = np.zeros((len(words) + 1, vectors.shape[1]), dtype=np.float32)
+        table[1:] = vectors
+        vocab = {w: i + 1 for i, w in enumerate(words)}
+        return cls(vocab, table)
+
+    @classmethod
+    def load(cls, path: str) -> "EmbeddingStore":
+        """Load text or binary word2vec format, auto-detected."""
+        with open(path, "rb") as f:
+            head = f.read(64)
+        if path.endswith(".bin") or _looks_binary(head):
+            return cls._load_binary(path)
+        return cls._load_text(path)
+
+    @classmethod
+    def _load_text(cls, path: str) -> "EmbeddingStore":
+        words: list[str] = []
+        rows: list[np.ndarray] = []
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            first = f.readline().rstrip("\n")
+            parts = first.split(" ")
+            # optional "V D" header
+            if len(parts) != 2 or not all(p.isdigit() for p in parts):
+                words.append(parts[0])
+                rows.append(np.array(parts[1:], dtype=np.float32))
+            for line in f:
+                parts = line.rstrip("\n").split(" ")
+                if len(parts) < 2:
+                    continue
+                words.append(parts[0])
+                rows.append(np.array(parts[1:], dtype=np.float32))
+        return cls.from_arrays(words, np.stack(rows))
+
+    @classmethod
+    def _load_binary(cls, path: str) -> "EmbeddingStore":
+        """GoogleNews .bin: ascii header 'V D\\n', then word + D float32 LE."""
+        with open(path, "rb") as f:
+            header = f.readline().decode("utf-8").strip()
+            v_str, d_str = header.split(" ")
+            v, d = int(v_str), int(d_str)
+            words = []
+            table = np.zeros((v + 1, d), dtype=np.float32)
+            buf = f.read()
+        pos = 0
+        vec_bytes = d * 4
+        for i in range(v):
+            end = buf.index(b" ", pos)
+            word = buf[pos:end].decode("utf-8", errors="replace").lstrip("\n")
+            pos = end + 1
+            table[i + 1] = np.frombuffer(buf, dtype="<f4", count=d, offset=pos)
+            pos += vec_bytes
+            words.append(word)
+        vocab = {w: i + 1 for i, w in enumerate(words)}
+        return cls(vocab, table)
+
+    def save_binary(self, path: str) -> None:
+        with open(path, "wb") as f:
+            words = sorted(self.vocab, key=self.vocab.get)
+            f.write(f"{len(words)} {self.dim}\n".encode("utf-8"))
+            for w in words:
+                f.write(w.encode("utf-8") + b" ")
+                f.write(self.table[self.vocab[w]].astype("<f4").tobytes())
+
+    # -- tokenization ----------------------------------------------------
+    def lookup_id(self, word: str) -> int:
+        """word → table row; OOV path mirrors gensim-era normalization:
+        exact match, then lowercase, else PAD_ID(0)."""
+        wid = self.vocab.get(word)
+        if wid is None:
+            wid = self.vocab.get(word.lower(), PAD_ID)
+        return wid
+
+    def encode_tokens(self, tokens: list[str], max_len: int) -> tuple[np.ndarray, int]:
+        """Tokens → (int32[max_len] padded ids, true length)."""
+        ids = np.zeros(max_len, dtype=np.int32)
+        n = min(len(tokens), max_len)
+        for i in range(n):
+            ids[i] = self.lookup_id(tokens[i])
+        return ids, n
+
+    def mean_pool(self, tokens: list[str]) -> np.ndarray:
+        """Host-side mean of token vectors (OOV rows are zero but counted),
+        mirroring the reference's averaged-w2v mention features [B:7]."""
+        if not tokens:
+            return np.zeros(self.dim, dtype=np.float32)
+        ids = np.array([self.lookup_id(t) for t in tokens], dtype=np.int32)
+        return self.table[ids].mean(axis=0)
+
+
+def _looks_binary(head: bytes) -> bool:
+    """Binary w2v starts with an ascii 'V D\\n' header then raw floats."""
+    try:
+        nl = head.index(b"\n")
+    except ValueError:
+        return False
+    try:
+        parts = head[:nl].decode("ascii").split(" ")
+        if len(parts) == 2 and all(p.isdigit() for p in parts):
+            # text format would have another ascii line next; binary has a
+            # word then raw float bytes — check for non-ascii in the tail.
+            tail = head[nl + 1:]
+            return any(b > 127 for b in tail) or b"\x00" in tail
+    except UnicodeDecodeError:
+        return True
+    return False

@@ -1,0 +1,248 @@
+"""Dataset assembly: files → padded index-table datasets (layer L3).
+
+Reference parity: SURVEY.md §4.1–4.4.  The reference assembled per-example
+feature vectors inside Python loops at train time; here each split is turned
+once, on host, into dense numpy tables that jit-compiled programs consume
+with static shapes:
+
+* **mention datasets** (nonvisual / cardinality): flat ``[N, L]`` token-id
+  rows per mention — SURVEY §4.4.
+* **relation datasets**: *image-centric* — captions ``[I, C, L]``, mention
+  span tables ``[I, M]``, pair index tables ``[I, P]``.  Each caption is
+  encoded exactly once per step (the reference re-embedded both captions for
+  every one of the O(M²) pairs); pairs are formed on-device from mention
+  indices (XLA gather or Pallas K1) — SURVEY §4.1, §9.3(3).
+* **affinity datasets**: image-centric grids — phrases ``[I, M, L]`` ×
+  boxes ``[I, B, 4096]`` with a dense ``[I, M, B]`` label/valid grid, so the
+  affinity head runs as two GEMMs + broadcast-add instead of per-pair concat
+  (the K2 restructuring, SURVEY §4.3).
+
+Data-dir layout (DECISION, SURVEY §0 — reference checkout empty):
+``<split>.captions.txt``, ``<split>.mentions.txt``, ``<split>.<task>.feats``,
+``<split>.boxes.npz``; embeddings via an explicit path.
+
+Affinity example-id scheme (DECISION):
+``doc:<img>;caption:<ci>;mention:<mi>;box:<bi>`` — consistent with §6.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+
+import numpy as np
+
+from icl.data.embeddings import EmbeddingStore
+from icl.io.boxes import group_boxes_by_image, read_box_feats
+from icl.io.captions import (Mention, parse_mention_id, parse_pair_id,
+                             read_captions, read_mentions)
+from icl.io.feats import read_feats
+
+_AFF_ID_RE = re.compile(
+    r"doc:(?P<doc>[^;]+);caption:(?P<cap>\d+);mention:(?P<men>\d+);box:(?P<box>\d+)$")
+
+
+def parse_affinity_id(example_id: str) -> tuple[str, int, int, int]:
+    m = _AFF_ID_RE.match(example_id)
+    if not m:
+        raise ValueError(f"bad affinity id: {example_id!r}")
+    return m.group("doc"), int(m.group("cap")), int(m.group("men")), int(m.group("box"))
+
+
+def make_affinity_id(img_id: str, ci: int, mi: int, bi: int) -> str:
+    return f"doc:{img_id};caption:{ci};mention:{mi};box:{bi}"
+
+
+def split_path(data_dir: str, split: str, what: str) -> str:
+    return os.path.join(data_dir, f"{split}.{what}")
+
+
+# ---------------------------------------------------------------------------
+# Mention-level datasets (nonvisual, cardinality)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MentionDataset:
+    """Flat per-mention dataset: token ids + true length + label + id."""
+
+    token_ids: np.ndarray    # int32[N, L]
+    lengths: np.ndarray      # int32[N]
+    labels: np.ndarray       # int32[N]
+    ids: list[str]
+
+    @property
+    def max_len(self) -> int:
+        return self.token_ids.shape[1]
+
+
+def load_mention_dataset(
+    data_dir: str, split: str, task: str, emb: EmbeddingStore, max_len: int = 16,
+) -> MentionDataset:
+    """Join <split>.<task>.feats labels with mention token spans."""
+    feats = read_feats(split_path(data_dir, split, f"{task}.feats"))
+    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    mentions = {m.mention_id: m for m in
+                read_mentions(split_path(data_dir, split, "mentions.txt"))}
+    n = len(feats)
+    token_ids = np.zeros((n, max_len), dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int32)
+    labels = np.zeros(n, dtype=np.int32)
+    ids = []
+    for r, ex in enumerate(feats):
+        m = mentions[ex.example_id]
+        toks = captions[m.caption_key].tokens[m.first:m.last + 1]
+        token_ids[r], lengths[r] = emb.encode_tokens(toks, max_len)
+        labels[r] = int(ex.label)
+        ids.append(ex.example_id)
+    return MentionDataset(token_ids, lengths, labels, ids)
+
+
+# ---------------------------------------------------------------------------
+# Relation dataset (image-centric)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RelationImage:
+    """One image's caption/mention/pair tables, unpadded."""
+
+    img_id: str
+    tokens: np.ndarray       # int32[C, L_img] (L_img = max caption len here)
+    tok_len: np.ndarray      # int32[C]
+    m_cap: np.ndarray        # int32[M] caption row of each mention
+    m_first: np.ndarray      # int32[M]
+    m_last: np.ndarray       # int32[M]
+    pair_ij: np.ndarray      # int32[P, 2] mention-row pairs
+    pair_label: np.ndarray   # int32[P]
+    pair_ids: list[str]
+
+
+@dataclasses.dataclass
+class RelationDataset:
+    images: list[RelationImage]
+
+    @property
+    def num_pairs(self) -> int:
+        return sum(len(im.pair_ids) for im in self.images)
+
+
+def load_relation_dataset(
+    data_dir: str, split: str, emb: EmbeddingStore,
+) -> RelationDataset:
+    """Build image-centric tables from <split>.relation.feats + captions."""
+    feats = read_feats(split_path(data_dir, split, "relation.feats"))
+    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    all_mentions = read_mentions(split_path(data_dir, split, "mentions.txt"))
+
+    mentions_by_img: dict[str, list[Mention]] = {}
+    for m in all_mentions:
+        mentions_by_img.setdefault(m.img_id, []).append(m)
+
+    # gold labels per pair id
+    labels_by_img: dict[str, list[tuple[str, int, int, int, int, int]]] = {}
+    for ex in feats:
+        img, ci, mi, cj, mj = parse_pair_id(ex.example_id)
+        labels_by_img.setdefault(img, []).append(
+            (ex.example_id, ci, mi, cj, mj, int(ex.label)))
+
+    images: list[RelationImage] = []
+    for img_id in sorted(labels_by_img):
+        ms = sorted(mentions_by_img.get(img_id, []),
+                    key=lambda m: (m.cap_idx, m.mention_idx))
+        if not ms:
+            raise ValueError(f"no mentions for image {img_id} with relation pairs")
+        cap_keys = sorted({m.caption_key for m in ms},
+                          key=lambda k: int(k.rpartition("#")[2]))
+        cap_row = {k: i for i, k in enumerate(cap_keys)}
+        L = max(len(captions[k].tokens) for k in cap_keys)
+        tokens = np.zeros((len(cap_keys), L), dtype=np.int32)
+        tok_len = np.zeros(len(cap_keys), dtype=np.int32)
+        for k, row in cap_row.items():
+            tokens[row], tok_len[row] = emb.encode_tokens(captions[k].tokens, L)
+        mrow = {(m.cap_idx, m.mention_idx): i for i, m in enumerate(ms)}
+        m_cap = np.array([cap_row[m.caption_key] for m in ms], dtype=np.int32)
+        m_first = np.array([min(m.first, int(tok_len[cap_row[m.caption_key]]) - 1)
+                            for m in ms], dtype=np.int32)
+        m_last = np.array([min(m.last, int(tok_len[cap_row[m.caption_key]]) - 1)
+                           for m in ms], dtype=np.int32)
+        rows = labels_by_img[img_id]
+        pair_ij = np.array([[mrow[(ci, mi)], mrow[(cj, mj)]]
+                            for _, ci, mi, cj, mj, _ in rows], dtype=np.int32)
+        pair_label = np.array([lbl for *_, lbl in rows], dtype=np.int32)
+        pair_ids = [eid for eid, *_ in rows]
+        images.append(RelationImage(
+            img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
+            m_first=m_first, m_last=m_last, pair_ij=pair_ij,
+            pair_label=pair_label, pair_ids=pair_ids))
+    return RelationDataset(images=images)
+
+
+# ---------------------------------------------------------------------------
+# Affinity dataset (image-centric mention × box grids)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AffinityImage:
+    img_id: str
+    phrase_tokens: np.ndarray  # int32[M, L]
+    phrase_len: np.ndarray     # int32[M]
+    mention_ids: list[str]     # §6.1 mention ids, row order
+    box_feats: np.ndarray      # float32[B, D]
+    box_idx: list[int]         # original box indices, row order
+    grid_label: np.ndarray     # int32[M, B]
+    grid_valid: np.ndarray     # bool[M, B] — cells present in the .feats file
+
+
+@dataclasses.dataclass
+class AffinityDataset:
+    images: list[AffinityImage]
+    box_dim: int
+
+    @property
+    def num_cells(self) -> int:
+        return sum(int(im.grid_valid.sum()) for im in self.images)
+
+
+def load_affinity_dataset(
+    data_dir: str, split: str, emb: EmbeddingStore, max_phrase_len: int = 16,
+) -> AffinityDataset:
+    feats = read_feats(split_path(data_dir, split, "affinity.feats"))
+    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    all_mentions = {m.mention_id: m for m in
+                    read_mentions(split_path(data_dir, split, "mentions.txt"))}
+    box_ids, box_arr = read_box_feats(split_path(data_dir, split, "boxes.npz"))
+    boxes_by_img = group_boxes_by_image(box_ids, box_arr)
+
+    cells: dict[str, list[tuple[int, int, int, int]]] = {}
+    for ex in feats:
+        img, ci, mi, bi = parse_affinity_id(ex.example_id)
+        cells.setdefault(img, []).append((ci, mi, bi, int(ex.label)))
+
+    images: list[AffinityImage] = []
+    box_dim = box_arr.shape[1] if box_arr.size else 4096
+    for img_id in sorted(cells):
+        box_order, bfeats = boxes_by_img[img_id]
+        box_col = {b: c for c, b in enumerate(box_order)}
+        mention_keys = sorted({(ci, mi) for ci, mi, _, _ in cells[img_id]})
+        mrow = {k: r for r, k in enumerate(mention_keys)}
+        M, B = len(mention_keys), len(box_order)
+        phrase_tokens = np.zeros((M, max_phrase_len), dtype=np.int32)
+        phrase_len = np.zeros(M, dtype=np.int32)
+        mention_ids = []
+        for (ci, mi), r in mrow.items():
+            mid = f"doc:{img_id};caption:{ci};mention:{mi}"
+            m = all_mentions[mid]
+            toks = captions[m.caption_key].tokens[m.first:m.last + 1]
+            phrase_tokens[r], phrase_len[r] = emb.encode_tokens(toks, max_phrase_len)
+            mention_ids.append(mid)
+        grid_label = np.zeros((M, B), dtype=np.int32)
+        grid_valid = np.zeros((M, B), dtype=bool)
+        for ci, mi, bi, lbl in cells[img_id]:
+            r, c = mrow[(ci, mi)], box_col[bi]
+            grid_label[r, c] = lbl
+            grid_valid[r, c] = True
+        images.append(AffinityImage(
+            img_id=img_id, phrase_tokens=phrase_tokens, phrase_len=phrase_len,
+            mention_ids=mention_ids, box_feats=bfeats, box_idx=box_order,
+            grid_label=grid_label, grid_valid=grid_valid))
+    return AffinityDataset(images=images, box_dim=box_dim)

@@ -1,0 +1,127 @@
+"""Caption-token and mention-span loaders (component C3).
+
+Reference parity: SURVEY.md §3.1 C3 / §6.1 id schemes.  The Java preprocessing
+side emits tokenized captions keyed ``<imgid>.jpg#<capIdx>`` plus mention span
+indices; this module defines the concrete on-disk contract (DECISION per
+SURVEY.md §0 — the reference checkout was empty):
+
+``captions.txt`` — one caption per line, tab between key and tokens::
+
+    <imgid>.jpg#<capIdx>\tthe quick brown fox ...
+
+``mentions.txt`` — one mention per line::
+
+    doc:<imgid>.jpg;caption:<ci>;mention:<mi>\t<first_tok>,<last_tok>[\t<text>]
+
+token indices are 0-based and inclusive on both ends (a one-token mention has
+first == last).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+
+@dataclasses.dataclass
+class Caption:
+    img_id: str           # e.g. "123.jpg"
+    cap_idx: int
+    tokens: list[str]
+
+    @property
+    def key(self) -> str:
+        return f"{self.img_id}#{self.cap_idx}"
+
+
+@dataclasses.dataclass
+class Mention:
+    img_id: str
+    cap_idx: int
+    mention_idx: int
+    first: int            # inclusive 0-based token index
+    last: int             # inclusive
+    text: str = ""
+
+    @property
+    def mention_id(self) -> str:
+        """§6.1 mention id scheme (nonvisual/cardinality tasks)."""
+        return f"doc:{self.img_id};caption:{self.cap_idx};mention:{self.mention_idx}"
+
+    @property
+    def caption_key(self) -> str:
+        return f"{self.img_id}#{self.cap_idx}"
+
+
+_MENTION_ID_RE = re.compile(r"doc:(?P<doc>[^;]+);caption:(?P<cap>\d+);mention:(?P<men>\d+)$")
+_PAIR_ID_RE = re.compile(
+    r"doc:(?P<doc>[^;]+);caption_1:(?P<c1>\d+);mention_1:(?P<m1>\d+)"
+    r";caption_2:(?P<c2>\d+);mention_2:(?P<m2>\d+)$"
+)
+
+
+def parse_mention_id(example_id: str) -> tuple[str, int, int]:
+    """``doc:<img>;caption:<ci>;mention:<mi>`` → (img, ci, mi)."""
+    m = _MENTION_ID_RE.match(example_id)
+    if not m:
+        raise ValueError(f"bad mention id: {example_id!r}")
+    return m.group("doc"), int(m.group("cap")), int(m.group("men"))
+
+
+def parse_pair_id(example_id: str) -> tuple[str, int, int, int, int]:
+    """§6.1 relation pair id → (img, ci, mi, cj, mj)."""
+    m = _PAIR_ID_RE.match(example_id)
+    if not m:
+        raise ValueError(f"bad pair id: {example_id!r}")
+    return (m.group("doc"), int(m.group("c1")), int(m.group("m1")),
+            int(m.group("c2")), int(m.group("m2")))
+
+
+def make_pair_id(img_id: str, ci: int, mi: int, cj: int, mj: int) -> str:
+    return (f"doc:{img_id};caption_1:{ci};mention_1:{mi}"
+            f";caption_2:{cj};mention_2:{mj}")
+
+
+def read_captions(path: str) -> dict[str, Caption]:
+    """Load captions keyed by ``<imgid>.jpg#<capIdx>``."""
+    out: dict[str, Caption] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            key, _, toks = line.partition("\t")
+            img_id, _, cap_idx = key.rpartition("#")
+            cap = Caption(img_id=img_id, cap_idx=int(cap_idx), tokens=toks.split())
+            out[cap.key] = cap
+    return out
+
+
+def read_mentions(path: str) -> list[Mention]:
+    """Load mention spans; see module docstring for the line format."""
+    out: list[Mention] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            img_id, ci, mi = parse_mention_id(fields[0])
+            first_s, _, last_s = fields[1].partition(",")
+            text = fields[2] if len(fields) > 2 else ""
+            out.append(Mention(img_id=img_id, cap_idx=ci, mention_idx=mi,
+                               first=int(first_s), last=int(last_s), text=text))
+    return out
+
+
+def write_captions(path: str, captions: list[Caption]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for c in captions:
+            f.write(f"{c.key}\t{' '.join(c.tokens)}\n")
+
+
+def write_mentions(path: str, mentions: list[Mention]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for m in mentions:
+            text = f"\t{m.text}" if m.text else ""
+            f.write(f"{m.mention_id}\t{m.first},{m.last}{text}\n")

@@ -1,0 +1,126 @@
+"""`.feats` sparse feature file reader/writer (component C1).
+
+Reference parity: SURVEY.md §6.1 (frozen contract; the reference checkout was
+empty — see SURVEY.md §0).  Format, one example per line::
+
+    <label> <idx>:<val> <idx>:<val> ... # <example_id>
+
+* features are 1-indexed, LibSVM-style, may appear in any order;
+* labels may be int or float text;
+* blank lines and lines whose first non-space char is ``#`` are skipped;
+* the trailing ``# <id>`` comment carries the example id the Java side uses
+  (e.g. ``doc:123.jpg;caption:0;mention:2``).
+
+A fast C++ parser (icl.native) is used for large files when available; the
+pure-Python path below is the always-available reference implementation and
+the two are tested for equality (tests/unit/test_feats.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FeatsExample:
+    """One parsed `.feats` line: example id, label, sparse feature vector."""
+
+    example_id: str
+    label: float
+    indices: np.ndarray  # int32, 1-indexed as in the file
+    values: np.ndarray   # float32
+
+    def to_dense(self, max_idx: int) -> np.ndarray:
+        """Densify to float32[max_idx]; feature i lands at position i-1."""
+        out = np.zeros(max_idx, dtype=np.float32)
+        out[self.indices - 1] = self.values
+        return out
+
+
+def parse_sparse_line(line: str) -> FeatsExample | None:
+    """Parse one `.feats` line; returns None for blank/comment lines."""
+    stripped = line.strip()
+    if not stripped or stripped.startswith("#"):
+        return None
+    body, _, comment = stripped.partition("#")
+    example_id = comment.strip()
+    parts = body.split()
+    label = float(parts[0])
+    n = len(parts) - 1
+    indices = np.empty(n, dtype=np.int32)
+    values = np.empty(n, dtype=np.float32)
+    for k, tok in enumerate(parts[1:]):
+        idx, _, val = tok.partition(":")
+        indices[k] = int(idx)
+        values[k] = float(val)
+    return FeatsExample(example_id=example_id, label=label, indices=indices, values=values)
+
+
+def iter_feats(path: str) -> Iterator[FeatsExample]:
+    """Stream-parse a `.feats` file."""
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            ex = parse_sparse_line(line)
+            if ex is not None:
+                yield ex
+
+
+def read_feats(path: str, use_native: bool = True) -> list[FeatsExample]:
+    """Read a whole `.feats` file.
+
+    Tries the C++ fast parser first (icl.native.feats) and falls back to the
+    pure-Python implementation; results are identical by construction/test.
+    """
+    if use_native:
+        try:
+            from icl.native import feats as _native
+
+            parsed = _native.parse_feats_file(path)
+            if parsed is not None:
+                return [
+                    FeatsExample(example_id=eid, label=lbl, indices=idx, values=val)
+                    for eid, lbl, idx, val in parsed
+                ]
+        except ImportError:
+            pass
+    return list(iter_feats(path))
+
+
+def write_feats(path: str, examples: Iterable[FeatsExample]) -> None:
+    """Write examples in the exact §6.1 byte format."""
+    with open(path, "w", encoding="utf-8") as f:
+        for ex in examples:
+            label = int(ex.label) if float(ex.label).is_integer() else ex.label
+            toks = [str(label)]
+            for i, v in zip(ex.indices, ex.values):
+                if float(v).is_integer():
+                    sv = str(int(v))
+                else:
+                    # shortest digits that round-trip the float32 value
+                    sv = np.format_float_positional(np.float32(v), unique=True, trim="-")
+                toks.append(f"{i}:{sv}")
+            f.write(" ".join(toks) + f" # {ex.example_id}\n")
+
+
+def to_dense_matrix(
+    examples: Sequence[FeatsExample], max_idx: int | None = None
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Densify a parsed file into (X float32[N,D], y float32[N], ids).
+
+    The reference fed these to sklearn/LibLinear baselines (component C13);
+    here it also feeds the CPU baseline path and tests.
+    """
+    if max_idx is None:
+        max_idx = max((int(ex.indices.max()) for ex in examples if ex.indices.size), default=0)
+    X = np.zeros((len(examples), max_idx), dtype=np.float32)
+    y = np.empty(len(examples), dtype=np.float32)
+    ids = []
+    for r, ex in enumerate(examples):
+        if ex.indices.size:
+            X[r, ex.indices - 1] = ex.values
+        y[r] = ex.label
+        ids.append(ex.example_id)
+    return X, y, ids

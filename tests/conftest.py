@@ -1,0 +1,42 @@
+"""Test bootstrap: force CPU JAX with 8 faked devices (SURVEY §7.4).
+
+Must run before jax is imported anywhere, hence the env mutation at module
+import time (pytest imports conftest first).  Every distributed/mesh test
+relies on the 8 virtual CPU devices; TPU-only tests live in tests/tpu and
+opt in explicitly via the `tpu` marker.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+prev = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in prev:
+    os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synth_dir(tmp_path_factory):
+    """A shared synthetic train+dev dataset (see icl.testing.synth)."""
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = str(tmp_path_factory.mktemp("synthdata"))
+    cfg = SynthConfig(num_images=10, seed=7)
+    generate_dataset(d, "train", cfg)
+    generate_dataset(d, "dev", SynthConfig(num_images=4, seed=8))
+    return d
+
+
+@pytest.fixture(scope="session")
+def emb(synth_dir):
+    from icl.data.embeddings import EmbeddingStore
+
+    return EmbeddingStore.load(os.path.join(synth_dir, "embeddings.txt"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

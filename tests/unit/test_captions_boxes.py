@@ -1,0 +1,51 @@
+"""Unit tests for caption/mention/box loaders (C3, C5) and id schemes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from icl.io.boxes import (group_boxes_by_image, make_box_id, parse_box_id,
+                          read_box_feats, write_box_feats)
+from icl.io.captions import (make_pair_id, parse_mention_id, parse_pair_id,
+                             read_captions, read_mentions)
+
+
+def test_id_schemes():
+    assert parse_mention_id("doc:12.jpg;caption:3;mention:4") == ("12.jpg", 3, 4)
+    pid = make_pair_id("12.jpg", 0, 1, 2, 3)
+    assert pid == "doc:12.jpg;caption_1:0;mention_1:1;caption_2:2;mention_2:3"
+    assert parse_pair_id(pid) == ("12.jpg", 0, 1, 2, 3)
+    assert parse_box_id(make_box_id("x.jpg", 7)) == ("x.jpg", 7)
+    with pytest.raises(ValueError):
+        parse_mention_id("doc:12.jpg;box:1")
+
+
+def test_captions_mentions_roundtrip(synth_dir):
+    caps = read_captions(os.path.join(synth_dir, "train.captions.txt"))
+    ments = read_mentions(os.path.join(synth_dir, "train.mentions.txt"))
+    assert caps and ments
+    for m in ments:
+        cap = caps[m.caption_key]
+        assert 0 <= m.first <= m.last < len(cap.tokens)
+        if m.text:
+            assert m.text.split() == cap.tokens[m.first:m.last + 1]
+
+
+def test_box_feats_npz(synth_dir):
+    ids, feats = read_box_feats(os.path.join(synth_dir, "train.boxes.npz"))
+    assert feats.dtype == np.float32 and len(ids) == feats.shape[0]
+    by_img = group_boxes_by_image(ids, feats)
+    for img, (order, f) in by_img.items():
+        assert order == sorted(order)
+        assert f.shape[0] == len(order)
+
+
+def test_box_feats_text_roundtrip(tmp_path):
+    ids = [make_box_id("a.jpg", 0), make_box_id("a.jpg", 1)]
+    feats = np.array([[1.5, -2.0], [0.0, 3.25]], np.float32)
+    p = str(tmp_path / "b.boxes.txt")
+    write_box_feats(p, ids, feats)
+    rids, rfeats = read_box_feats(p)
+    assert rids == ids
+    np.testing.assert_allclose(rfeats, feats)

@@ -1,0 +1,108 @@
+"""Unit tests: embeddings, bucketing invariants, dataset assembly (SURVEY §7.2)."""
+
+import os
+
+import numpy as np
+
+from icl.data.buckets import Bucketizer, BucketSpec
+from icl.data.embeddings import EmbeddingStore
+from icl.data.imagebatch import AffinityBatcher, RelationBatcher
+from icl.data.pairs import enumerate_pairs
+from icl.data.pipeline import (load_affinity_dataset, load_mention_dataset,
+                               load_relation_dataset)
+from icl.io.captions import Mention
+
+
+def test_embedding_text_binary_roundtrip(tmp_path, emb):
+    p = str(tmp_path / "emb.bin")
+    emb.save_binary(p)
+    emb2 = EmbeddingStore.load(p)
+    assert emb2.vocab == emb.vocab
+    np.testing.assert_allclose(emb2.table, emb.table, rtol=1e-6)
+
+
+def test_embedding_oov_and_pool(emb):
+    assert emb.lookup_id("___nope___") == 0
+    np.testing.assert_array_equal(emb.table[0], 0.0)
+    v = emb.mean_pool(["w001", "___nope___"])
+    np.testing.assert_allclose(v, emb.table[emb.vocab["w001"]] / 2, rtol=1e-6)
+    ids, n = emb.encode_tokens(["w001", "w002"], 5)
+    assert n == 2 and ids[2:].tolist() == [0, 0, 0]
+
+
+def test_bucket_spec():
+    spec = BucketSpec((8, 16, 32))
+    assert spec.bucket_of(1) == 8 and spec.bucket_of(8) == 8
+    assert spec.bucket_of(9) == 16 and spec.bucket_of(99) == 32  # clamp
+
+
+def test_bucketizer_no_drop_and_masking():
+    n = 37
+    lengths = np.random.default_rng(0).integers(1, 20, n)
+    arrays = {"x": np.arange(n * 24, dtype=np.float32).reshape(n, 24)}
+    ids = [f"id{i}" for i in range(n)]
+    bz = Bucketizer(BucketSpec((8, 16, 24)), batch_size=8)
+    seen = []
+    shapes = set()
+    for blen, batch in bz.batches(lengths, arrays, ids,
+                                  pad_axis_keys={"x": 1}):
+        assert batch.size == 8  # fixed batch shape
+        assert batch.arrays["x"].shape == (8, blen)
+        shapes.add(batch.arrays["x"].shape)
+        seen.extend(batch.ids)
+        assert batch.num_valid == len(batch.ids)
+    assert sorted(seen) == sorted(ids)  # nothing dropped, nothing duplicated
+    assert len(shapes) <= 3  # bounded compile inventory
+
+
+def test_pair_enumeration():
+    ms = [Mention("a.jpg", 1, 0, 0, 0), Mention("a.jpg", 0, 0, 0, 0),
+          Mention("a.jpg", 0, 1, 1, 1)]
+    pairs, ids = enumerate_pairs(ms)
+    assert pairs.shape == (3, 2)
+    # sorted by (caption, mention): (0,0),(0,1),(1,0)
+    assert ids[0] == "doc:a.jpg;caption_1:0;mention_1:0;caption_2:0;mention_2:1"
+    assert ids[-1] == "doc:a.jpg;caption_1:0;mention_1:1;caption_2:1;mention_2:0"
+
+
+def test_mention_dataset(synth_dir, emb):
+    ds = load_mention_dataset(synth_dir, "train", "nonvisual", emb)
+    assert ds.token_ids.shape[0] == len(ds.ids) == len(ds.labels)
+    assert set(np.unique(ds.labels)) <= {0, 1}
+    assert (ds.lengths >= 1).all()
+
+
+def test_relation_dataset_and_batcher(synth_dir, emb):
+    ds = load_relation_dataset(synth_dir, "train", emb)
+    assert ds.images and ds.num_pairs > 0
+    for im in ds.images:
+        m = len(im.m_cap)
+        assert im.pair_ij.shape[0] == m * (m - 1) // 2
+        assert (im.m_last >= im.m_first).all()
+        assert (im.m_last < im.tok_len[im.m_cap]).all()
+    batcher = RelationBatcher(images_per_batch=4)
+    ids_seen = []
+    for batch in batcher.batches(ds):
+        a = batch.arrays
+        I, C, L = a["tokens"].shape
+        assert a["pair_ij"].max() < a["m_valid"].shape[1]
+        # padded caption positions are PAD=0
+        for s in range(I):
+            for c in range(C):
+                assert (a["tokens"][s, c, a["tok_len"][s, c]:] == 0).all()
+        ids_seen.extend(pid for _, _, pid in batch.id_index)
+    all_ids = [pid for im in ds.images for pid in im.pair_ids]
+    assert sorted(ids_seen) == sorted(all_ids)
+
+
+def test_affinity_dataset_and_batcher(synth_dir, emb):
+    ds = load_affinity_dataset(synth_dir, "train", emb)
+    assert ds.images and ds.num_cells > 0
+    batcher = AffinityBatcher(images_per_batch=4)
+    cells = 0
+    for batch in batcher.batches(ds):
+        a = batch.arrays
+        assert a["grid_valid"].shape == a["grid_label"].shape
+        assert not a["grid_valid"][~a["img_valid"]].any()
+        cells += len(batch.id_index)
+    assert cells == ds.num_cells

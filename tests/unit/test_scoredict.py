@@ -1,0 +1,35 @@
+"""ScoreDict vs hand-computed P/R/F1 (SURVEY §7.2)."""
+
+from icl.eval.scoredict import ScoreDict
+
+
+def test_hand_computed():
+    sd = ScoreDict(labels=["a", "b"])
+    golds = ["a", "a", "a", "b", "b"]
+    preds = ["a", "a", "b", "b", "a"]
+    sd.increment_all(golds, preds)
+    # label a: pred 3 times, correct 2 → P=2/3; gold 3 → R=2/3; F1=2/3
+    assert abs(sd.precision("a") - 2 / 3) < 1e-12
+    assert abs(sd.recall("a") - 2 / 3) < 1e-12
+    assert abs(sd.f1("a") - 2 / 3) < 1e-12
+    # label b: pred 2, correct 1 → P=0.5; gold 2 → R=0.5
+    assert sd.precision("b") == 0.5 and sd.recall("b") == 0.5
+    assert sd.accuracy == 3 / 5
+    assert abs(sd.macro_f1() - (2 / 3 + 0.5) / 2) < 1e-12
+
+
+def test_zero_denominators():
+    sd = ScoreDict(labels=[0, 1])
+    sd.increment(0, 0)
+    assert sd.precision(1) == 0.0 and sd.recall(1) == 0.0 and sd.f1(1) == 0.0
+
+
+def test_table_stable():
+    sd = ScoreDict(labels=["coref", "null"])
+    for _ in range(3):
+        sd.increment("coref", "coref")
+    sd.increment("null", "coref")
+    t = sd.table()
+    assert "coref" in t and "Accuracy: 75.00% (3/4)" in t
+    # pinned column layout
+    assert t.splitlines()[0].startswith("label        |")
