@@ -158,6 +158,7 @@ class AffinityBatcher:
             "phrase_tokens": np.zeros((I, M, L), np.int32),
             "phrase_len": np.zeros((I, M), np.int32),
             "box_feats": np.zeros((I, B, D), np.float32),
+            "box_valid": np.zeros((I, B), bool),
             "grid_label": np.zeros((I, M, B), np.int32),
             "grid_valid": np.zeros((I, M, B), bool),
             "img_valid": np.zeros((I,), bool),
@@ -171,6 +172,7 @@ class AffinityBatcher:
             a["phrase_tokens"][s, :m] = im.phrase_tokens[:m, :L]
             a["phrase_len"][s, :m] = np.minimum(im.phrase_len[:m], L)
             a["box_feats"][s, :b] = im.box_feats[:b]
+            a["box_valid"][s, :b] = True
             a["grid_label"][s, :m, :b] = im.grid_label[:m, :b]
             a["grid_valid"][s, :m, :b] = im.grid_valid[:m, :b]
             a["img_valid"][s] = True

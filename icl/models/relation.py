@@ -1,0 +1,81 @@
+"""Pairwise mention-relation classifier (component C7).
+
+Reference parity: SURVEY.md §6.4 / BASELINE.json config[1] — 4-way
+``{null=0, coref=1, subset_ij=2, subset_ji=3}`` classifier over mention
+pairs with a shared BiLSTM caption encoder (hidden 200/direction over
+word2vec-300), mention rep = [fwd;bwd] states at the mention's first and
+last token (R^800), pair vector = [m_i; m_j] (R^1600), head
+Dense(800, relu) → Dropout(0.5) → Dense(4), class-weighted CE.
+
+TPU-native design (SURVEY §4.1): the reference re-encoded captions for every
+one of the O(M²) pairs in Python loops.  Here each caption in the image batch
+is encoded **once**; mention and pair tensors are formed by flat gathers
+(single-index ``jnp.take`` into ``[I·C·L, 2H]``) with no ``[I,M,L,·]``
+intermediate — this gather+concat stage is Pallas kernel K1's target
+(icl.ops.pair_build), and the XLA fallback here is the correctness oracle
+for it.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from icl.data.pairs import RELATION_CLASSES
+from icl.models.rnn import BiLSTM
+
+__all__ = ["RelationModel", "RELATION_CLASSES"]
+
+
+def gather_mention_reps(enc: jnp.ndarray, m_cap: jnp.ndarray,
+                        m_first: jnp.ndarray, m_last: jnp.ndarray) -> jnp.ndarray:
+    """[I,C,L,2H] encoded captions + [I,M] span tables → [I,M,4H] mention reps.
+
+    rep = [enc[cap, first] ; enc[cap, last]] — fwd/bwd states at the span
+    boundaries (SURVEY §6.4).  Implemented as two flat gathers.
+    """
+    I, C, L, twoH = enc.shape
+    flat = enc.reshape(I * C * L, twoH)
+    img_off = (jnp.arange(I, dtype=jnp.int32) * C)[:, None]     # [I,1]
+    row = (img_off + m_cap) * L                                  # [I,M]
+    first_rep = jnp.take(flat, row + m_first, axis=0)            # [I,M,2H]
+    last_rep = jnp.take(flat, row + m_last, axis=0)
+    return jnp.concatenate([first_rep, last_rep], axis=-1)
+
+
+def gather_pair_reps(mention_reps: jnp.ndarray, pair_ij: jnp.ndarray) -> jnp.ndarray:
+    """[I,M,R] mention reps + [I,P,2] index pairs → [I,P,2R] pair vectors."""
+    I, M, R = mention_reps.shape
+    flat = mention_reps.reshape(I * M, R)
+    img_off = (jnp.arange(I, dtype=jnp.int32) * M)[:, None]      # [I,1]
+    rep_i = jnp.take(flat, img_off + pair_ij[:, :, 0], axis=0)   # [I,P,R]
+    rep_j = jnp.take(flat, img_off + pair_ij[:, :, 1], axis=0)
+    return jnp.concatenate([rep_i, rep_j], axis=-1)
+
+
+class RelationModel(nn.Module):
+    """Image-batch relation model; returns logits [I, P, 4]."""
+
+    lstm_hidden: int = 200
+    head_hidden: int = 800
+    dropout: float = 0.5
+    num_classes: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb_table: jnp.ndarray, batch: dict,
+                 deterministic: bool = True):
+        tokens = batch["tokens"]          # [I, C, L]
+        tok_len = batch["tok_len"]        # [I, C]
+        I, C, L = tokens.shape
+        x = jnp.take(emb_table, tokens.reshape(I * C, L), axis=0)  # [I*C, L, D]
+        enc_flat, _ = BiLSTM(self.lstm_hidden, compute_dtype=self.compute_dtype,
+                             name="caption_bilstm")(x, tok_len.reshape(I * C))
+        enc = enc_flat.reshape(I, C, L, 2 * self.lstm_hidden)
+        mreps = gather_mention_reps(enc, batch["m_cap"], batch["m_first"],
+                                    batch["m_last"])              # [I,M,4H]
+        preps = gather_pair_reps(mreps, batch["pair_ij"])         # [I,P,8H]
+        h = nn.Dense(self.head_hidden, name="head_dense")(preps)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_classes, name="head_out")(h)

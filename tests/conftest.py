@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax at
+# interpreter startup, freezing jax_platforms=axon before this file runs —
+# override through the config API, which wins over the frozen env read.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 
