@@ -1,0 +1,74 @@
+"""Shared CLI surface (component C12, SURVEY §6.6).
+
+Reference parity: one argparse entry per task with the reference-era flag
+names kept verbatim (``--train/--predict/--data_dir/--data_split/
+--model_file/--scores_file/--embeddings_file/--epochs/--batch_size/
+--lstm_hidden_width/--dropout/--learn_rate``), plus rebuild-only flags
+(``--mesh/--profile_dir/--resume/--seed/--metrics_file``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from icl.data.embeddings import EmbeddingStore
+from icl.util.log import LOG
+
+
+def base_parser(task: str, description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=f"icl-{task}", description=description)
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--train", action="store_true",
+                      help="train a model on --data_split")
+    mode.add_argument("--predict", action="store_true",
+                      help="write .scores for --data_split")
+    p.add_argument("--data_dir", required=True,
+                   help="directory with <split>.captions.txt / .feats / ...")
+    p.add_argument("--data_split", default="train",
+                   choices=["train", "dev", "test"])
+    p.add_argument("--model_file", default=None,
+                   help="checkpoint directory (saved on train, read on predict)")
+    p.add_argument("--scores_file", default=None,
+                   help="output .scores path (predict mode)")
+    p.add_argument("--embeddings_file", default=None,
+                   help="word2vec file (text or .bin); default "
+                        "<data_dir>/embeddings.txt")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--lstm_hidden_width", type=int, default=200)
+    p.add_argument("--hidden_width", type=int, default=None,
+                   help="FFNN hidden width (model-specific default)")
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--learn_rate", type=float, default=1e-3)
+    # rebuild-only
+    p.add_argument("--mesh", default=None,
+                   help="device topology, e.g. '8' or '4x2' (default: all "
+                        "devices data-parallel)")
+    p.add_argument("--profile_dir", default=None)
+    p.add_argument("--resume", default="none", choices=["none", "auto"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics_file", default=None)
+    p.add_argument("--eval", action="store_true",
+                   help="with --predict: print a ScoreDict table vs gold")
+    return p
+
+
+def load_embeddings(args) -> EmbeddingStore:
+    path = args.embeddings_file or os.path.join(args.data_dir, "embeddings.txt")
+    LOG.info("loading embeddings from %s", path)
+    emb = EmbeddingStore.load(path)
+    LOG.info("embeddings: %d words, dim %d", len(emb.vocab), emb.dim)
+    return emb
+
+
+def default_model_dir(args, task: str) -> str:
+    return args.model_file or os.path.join(args.data_dir,
+                                           f"{task}.model")
+
+
+def default_scores_path(args, task: str) -> str:
+    return args.scores_file or os.path.join(
+        args.data_dir, f"{args.data_split}.{task}.scores")

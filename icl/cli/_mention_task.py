@@ -1,0 +1,110 @@
+"""Shared driver for mention-level FFNN tasks (nonvisual, cardinality).
+
+This is the minimum end-to-end slice of SURVEY §9.2: `.feats` → mean-pool →
+flax FFNN train step (jit) → `.scores` → ScoreDict, CPU-capable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icl import runtime
+from icl.cli._common import (default_model_dir, default_scores_path,
+                             load_embeddings)
+from icl.data.buckets import Bucketizer, BucketSpec
+from icl.data.pipeline import load_mention_dataset
+from icl.dist.mesh import data_axis_size, replicate, shard_batch
+from icl.eval.scoredict import ScoreDict
+from icl.io.scores import write_scores
+from icl.models.nonvisual import mean_pool_tokens
+from icl.train import create_train_state, make_mention_train_step
+from icl.train.checkpoint import Checkpointer
+from icl.train.loop import LoopConfig, run_training
+from icl.train.steps import make_mention_predict
+from icl.util.log import LOG
+
+
+def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
+    rt = runtime.init(args.mesh, seed=args.seed)
+    emb = load_embeddings(args)
+    table = replicate(jnp.asarray(emb.table), rt.mesh)
+    ds = load_mention_dataset(args.data_dir, args.data_split, task, emb)
+    LOG.info("%s %s: %d mentions", task, args.data_split, len(ds.ids))
+
+    hidden = args.hidden_width or 300
+    model = model_cls(hidden=hidden, dropout=args.dropout,
+                      num_classes=len(classes))
+    pooled0 = mean_pool_tokens(jnp.asarray(emb.table),
+                               jnp.asarray(ds.token_ids[:1]),
+                               jnp.asarray(ds.lengths[:1]))
+    state = create_train_state(model, (pooled0,), seed=args.seed,
+                               learn_rate=args.learn_rate)
+    model_dir = default_model_dir(args, task)
+
+    bs = args.batch_size
+    ndev = data_axis_size(rt.mesh)
+    if bs % ndev:
+        bs = ((bs + ndev - 1) // ndev) * ndev
+        LOG.warning("batch_size rounded up to %d (divisible by %d devices)",
+                    bs, ndev)
+    bz = Bucketizer(BucketSpec((ds.max_len,)), batch_size=bs)
+    arrays = {"token_ids": ds.token_ids, "lengths": ds.lengths,
+              "labels": ds.labels}
+
+    if args.train:
+        step = make_mention_train_step()
+
+        def make_batches(epoch_rng):
+            for _, b in bz.batches(ds.lengths, arrays, ds.ids,
+                                   shuffle_rng=epoch_rng):
+                yield shard_batch(
+                    (jnp.asarray(b.arrays["token_ids"]),
+                     jnp.asarray(b.arrays["lengths"]),
+                     jnp.asarray(b.arrays["labels"]),
+                     jnp.asarray(b.valid)), rt.mesh)
+
+        cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
+                         profile_dir=args.profile_dir, resume=args.resume,
+                         metrics_path=args.metrics_file, seed=args.seed)
+        state = run_training(state, lambda s, *a: step(s, table, *a),
+                             make_batches, cfg)
+        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+            json.dump({"task": task, "hidden": hidden,
+                       "num_classes": len(classes),
+                       "dropout": args.dropout}, f)
+        LOG.info("trained to step %d; checkpoints in %s",
+                 int(state.step), model_dir)
+        return
+
+    # --predict
+    ckpt = Checkpointer(model_dir)
+    state = ckpt.restore(state)
+    if ckpt.latest_step is None:
+        LOG.warning("no checkpoint found in %s — predicting from init",
+                    model_dir)
+    predict = make_mention_predict(model.apply)
+    probs_by_id: dict[str, np.ndarray] = {}
+    for _, b in bz.batches(ds.lengths, arrays, ds.ids):
+        p = np.asarray(predict(state.params, table,
+                               *shard_batch((jnp.asarray(b.arrays["token_ids"]),
+                                             jnp.asarray(b.arrays["lengths"])),
+                                            rt.mesh)))
+        for row, eid in enumerate(b.ids):
+            probs_by_id[eid] = p[row]
+    probs = np.stack([probs_by_id[eid] for eid in ds.ids])
+    scores_path = default_scores_path(args, task)
+    write_scores(scores_path, ds.ids, probs, class_order=classes,
+                 meta={"task": task, "split": args.data_split,
+                       "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores to %s", len(ds.ids), scores_path)
+    if args.eval:
+        sd = ScoreDict(labels=list(classes))
+        preds = probs.argmax(-1)
+        for g, p in zip(ds.labels, preds):
+            sd.increment(classes[int(g)], classes[int(p)])
+        print(sd.table())

@@ -1,0 +1,127 @@
+"""icl-affinity — phrase↔box affinity scorer CLI (SURVEY §4.3, §6.5).
+
+Reference parity: mirrors ``icl_affinity.py``; `.scores` per (mention, box)
+cell with class order [no_affinity, affinity].  The per-pair concat loop of
+the reference becomes two GEMMs + broadcast-add over image grids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from icl import runtime
+from icl.cli._common import (base_parser, default_model_dir,
+                             default_scores_path, load_embeddings)
+from icl.data.imagebatch import AffinityBatcher
+from icl.data.pipeline import load_affinity_dataset
+from icl.dist.mesh import data_axis_size, replicate, shard_batch
+from icl.eval.scoredict import ScoreDict
+from icl.io.scores import write_scores
+from icl.models.affinity import AFFINITY_CLASSES, AffinityModel
+from icl.train import create_train_state, make_affinity_train_step
+from icl.train.checkpoint import Checkpointer
+from icl.train.loop import LoopConfig, run_training
+from icl.train.steps import make_affinity_predict
+from icl.util.log import LOG
+
+
+def main(argv=None) -> None:
+    p = base_parser(
+        "affinity",
+        "Phrase-box affinity scorer: LSTM phrase embeddings x VGG fc7 box "
+        "features, batched GEMM + per-image softmax.")
+    p.add_argument("--images_per_batch", type=int, default=8)
+    p.add_argument("--head_hidden", type=int, default=1024)
+    p.add_argument("--phrase_enc", default="lstm",
+                   choices=["lstm", "mean_w2v"])
+    args = p.parse_args(argv)
+
+    rt = runtime.init(args.mesh, seed=args.seed)
+    emb = load_embeddings(args)
+    table = replicate(jnp.asarray(emb.table), rt.mesh)
+    ds = load_affinity_dataset(args.data_dir, args.data_split, emb)
+    LOG.info("affinity %s: %d images, %d cells", args.data_split,
+             len(ds.images), ds.num_cells)
+
+    ipb = args.images_per_batch
+    ndev = data_axis_size(rt.mesh)
+    if ipb % ndev:
+        ipb = ((ipb + ndev - 1) // ndev) * ndev
+        LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
+    batcher = AffinityBatcher(images_per_batch=ipb)
+    model = AffinityModel(lstm_hidden=args.lstm_hidden_width,
+                          head_hidden=args.head_hidden, dropout=args.dropout,
+                          phrase_enc=args.phrase_enc)
+    b0 = next(iter(batcher.batches(ds)))
+    jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
+    state = create_train_state(model, (jnp.asarray(emb.table), jb0),
+                               seed=args.seed, learn_rate=args.learn_rate)
+    model_dir = default_model_dir(args, "affinity")
+
+    if args.train:
+        step = make_affinity_train_step()
+
+        def make_batches(epoch_rng):
+            for b in batcher.batches(ds, rng=epoch_rng):
+                jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+                yield (shard_batch(jb, rt.mesh),)
+
+        cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
+                         profile_dir=args.profile_dir, resume=args.resume,
+                         metrics_path=args.metrics_file, seed=args.seed)
+        state = run_training(state, lambda s, b: step(s, table, b),
+                             make_batches, cfg)
+        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+            json.dump({"task": "affinity",
+                       "lstm_hidden": args.lstm_hidden_width,
+                       "head_hidden": args.head_hidden,
+                       "dropout": args.dropout,
+                       "phrase_enc": args.phrase_enc}, f)
+        LOG.info("trained to step %d; checkpoints in %s",
+                 int(state.step), model_dir)
+        return
+
+    ckpt = Checkpointer(model_dir)
+    state = ckpt.restore(state)
+    if ckpt.latest_step is None:
+        LOG.warning("no checkpoint in %s — predicting from init", model_dir)
+    predict = make_affinity_predict(model.apply)
+    probs_by_id: dict[str, np.ndarray] = {}
+    sd = ScoreDict(labels=list(AFFINITY_CLASSES))
+    for b in batcher.batches(ds):
+        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                         rt.mesh)
+        probs = np.asarray(predict(state.params, table, jb))  # [I,M,B,2]
+        I, M, B, _ = probs.shape
+        labels = b.arrays["grid_label"]
+        for (s, cell, cid) in b.id_index:
+            r, c = divmod(cell, B)
+            probs_by_id[cid] = probs[s, r, c]
+            sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
+                         AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
+    # write in dataset order: per image, mention-major over valid cells
+    from icl.data.pipeline import make_affinity_id
+    from icl.io.captions import parse_mention_id
+    order = []
+    for im in ds.images:
+        for r, mid in enumerate(im.mention_ids):
+            img, ci, mi = parse_mention_id(mid)
+            for c, bi in enumerate(im.box_idx):
+                if im.grid_valid[r, c]:
+                    order.append(make_affinity_id(img, ci, mi, bi))
+    out = np.stack([probs_by_id[cid] for cid in order])
+    scores_path = default_scores_path(args, "affinity")
+    write_scores(scores_path, order, out, class_order=AFFINITY_CLASSES,
+                 meta={"task": "affinity", "split": args.data_split,
+                       "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores to %s", len(order), scores_path)
+    if args.eval:
+        print(sd.table())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""icl-relation — pairwise mention-relation classifier CLI (SURVEY §4.1–4.2).
+
+Reference parity: mirrors ``icl_relation.py``; same train/predict surface,
+`.scores` byte format §6.2 with class order [null, coref, subset_ij,
+subset_ji].  The O(M²) pair loop of the reference becomes image-centric
+jit batches (icl.data.imagebatch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from icl import runtime
+from icl.cli._common import (base_parser, default_model_dir,
+                             default_scores_path, load_embeddings)
+from icl.data.imagebatch import RelationBatcher
+from icl.data.pairs import RELATION_CLASSES
+from icl.data.pipeline import load_relation_dataset
+from icl.dist.mesh import data_axis_size, replicate, shard_batch
+from icl.eval.scoredict import ScoreDict
+from icl.io.scores import write_scores
+from icl.models.relation import RelationModel
+from icl.train import create_train_state, make_relation_train_step
+from icl.train.checkpoint import Checkpointer
+from icl.train.loop import LoopConfig, run_training
+from icl.train.steps import make_relation_predict
+from icl.util.log import LOG
+
+
+def main(argv=None) -> None:
+    p = base_parser(
+        "relation",
+        "4-way mention-pair relation classifier (null/coref/subset_ij/"
+        "subset_ji) with a shared BiLSTM caption encoder.")
+    p.add_argument("--images_per_batch", type=int, default=8)
+    p.add_argument("--null_weight", type=float, default=0.3,
+                   help="CE weight of the dominant null class (§6.4)")
+    p.add_argument("--head_hidden", type=int, default=800)
+    args = p.parse_args(argv)
+
+    rt = runtime.init(args.mesh, seed=args.seed)
+    emb = load_embeddings(args)
+    table = replicate(jnp.asarray(emb.table), rt.mesh)
+    ds = load_relation_dataset(args.data_dir, args.data_split, emb)
+    LOG.info("relation %s: %d images, %d pairs", args.data_split,
+             len(ds.images), ds.num_pairs)
+
+    ipb = args.images_per_batch
+    ndev = data_axis_size(rt.mesh)
+    if ipb % ndev:
+        ipb = ((ipb + ndev - 1) // ndev) * ndev
+        LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
+    batcher = RelationBatcher(images_per_batch=ipb)
+    model = RelationModel(lstm_hidden=args.lstm_hidden_width,
+                          head_hidden=args.head_hidden, dropout=args.dropout)
+    b0 = next(iter(batcher.batches(ds)))
+    jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
+    state = create_train_state(model, (jnp.asarray(emb.table), jb0),
+                               seed=args.seed, learn_rate=args.learn_rate)
+    model_dir = default_model_dir(args, "relation")
+
+    if args.train:
+        step = make_relation_train_step(
+            class_weights=[args.null_weight, 1.0, 1.0, 1.0])
+
+        def make_batches(epoch_rng):
+            for b in batcher.batches(ds, rng=epoch_rng):
+                jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+                yield (shard_batch(jb, rt.mesh),)
+
+        cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
+                         profile_dir=args.profile_dir, resume=args.resume,
+                         metrics_path=args.metrics_file, seed=args.seed)
+        state = run_training(state, lambda s, b: step(s, table, b),
+                             make_batches, cfg)
+        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+            json.dump({"task": "relation",
+                       "lstm_hidden": args.lstm_hidden_width,
+                       "head_hidden": args.head_hidden,
+                       "dropout": args.dropout}, f)
+        LOG.info("trained to step %d; checkpoints in %s",
+                 int(state.step), model_dir)
+        return
+
+    ckpt = Checkpointer(model_dir)
+    state = ckpt.restore(state)
+    if ckpt.latest_step is None:
+        LOG.warning("no checkpoint in %s — predicting from init", model_dir)
+    predict = make_relation_predict(model.apply)
+    probs_by_id: dict[str, np.ndarray] = {}
+    sd = ScoreDict(labels=list(RELATION_CLASSES))
+    for b in batcher.batches(ds):
+        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                         rt.mesh)
+        probs = np.asarray(predict(state.params, table, jb))
+        labels = b.arrays["pair_label"]
+        for (s, pi, pid) in b.id_index:
+            probs_by_id[pid] = probs[s, pi]
+            sd.increment(RELATION_CLASSES[int(labels[s, pi])],
+                         RELATION_CLASSES[int(probs[s, pi].argmax())])
+    order = [pid for im in ds.images for pid in im.pair_ids]
+    out = np.stack([probs_by_id[pid] for pid in order])
+    scores_path = default_scores_path(args, "relation")
+    write_scores(scores_path, order, out, class_order=RELATION_CLASSES,
+                 meta={"task": "relation", "split": args.data_split,
+                       "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores to %s", len(order), scores_path)
+    if args.eval:
+        print(sd.table())
+
+
+if __name__ == "__main__":
+    main()

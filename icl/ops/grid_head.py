@@ -1,0 +1,117 @@
+"""Fused bilinear-grid head — the Pallas kernel behind K1 and K2 (layer L0).
+
+Reference parity: BASELINE.json north_star names two kernel targets: the
+O(mentions²) pairwise feature construction (K1) and the batched affinity
+GEMM+softmax (K2).  Both reduce to one primitive, because concatenation into
+a Dense layer distributes over the weight::
+
+    relu([x_a ; y_b] @ W1 + b1) @ W2 + b2
+      == relu((x_a @ W1_top) + (y_b @ W1_bot) + b1) @ W2 + b2
+      == relu(X[a] + Y[b] + b1) @ W2 + b2        with X/Y projected ONCE
+
+* K1 (relation): X = Y = mention reps projected by the head Dense —
+  projecting M mentions instead of M(M-1)/2 pairs cuts the dominant GEMM
+  FLOPs by ~M×; the [a,b] grid is every ordered mention pair.
+* K2 (affinity): X = phrase projections, Y = fc7 box projections; the
+  [m, b] grid is every (mention, box) cell.
+
+The kernel computes ``out[g,a,b,:] = act(X[g,a] + Y[g,b] + b1) @ W2 + b2``
+tile-by-tile in VMEM: the [Ta, Tb, K] activation exists only on-chip, never
+in HBM (the XLA fallback materializes the [G,A,B,K] tensor — at K=1024 that
+is the dominant HBM traffic of the whole model).  Grid iteration order is
+(g, a-tile, b-tile) with X/Y blocks revisited; W2/b1/b2 are replicated to
+every program instance.
+
+The XLA-composed :func:`grid_head_reference` is the permanent correctness
+oracle (SURVEY §9.1 step 6: kernels are an optimization layer, never a
+correctness dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def grid_head_reference(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
+                        W2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """XLA oracle: [G,A,K],[G,B,K] → [G,A,B,O] via materialized grid."""
+    h = jax.nn.relu(X[:, :, None, :] + Y[:, None, :, :] + b1)
+    return jnp.einsum("gabk,ko->gabo", h, W2) + b2
+
+
+def _kernel(x_ref, y_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    # blocks: x [1,Ta,K] y [1,Tb,K] b1 [K] w2 [K,O] b2 [O] out [1,Ta,Tb,O]
+    x = x_ref[0]                                  # [Ta, K]
+    y = y_ref[0]                                  # [Tb, K]
+    Ta, K = x.shape
+    Tb = y.shape[0]
+    h = jnp.maximum(x[:, None, :] + y[None, :, :] + b1_ref[:], 0.0)
+    out = jnp.dot(h.reshape(Ta * Tb, K), w2_ref[:],
+                  preferred_element_type=jnp.float32)
+    out_ref[0] = (out + b2_ref[:]).reshape(Ta, Tb, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_a", "block_b"))
+def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
+                     W2: jnp.ndarray, b2: jnp.ndarray,
+                     block_a: int = 8, block_b: int = 128) -> jnp.ndarray:
+    """Pallas TPU kernel; same contract as :func:`grid_head_reference`.
+
+    Tile sizes keep the on-chip [Ta, Tb, K] activation ≤ ~4 MB at K=1024
+    (VMEM is ~16 MB/core); A/B are padded up to tile multiples and cropped
+    after (pad rows produce garbage that is sliced away — cheaper than
+    masking inside the kernel).
+    """
+    G, A, K = X.shape
+    B = Y.shape[1]
+    O = W2.shape[1]
+    Ta = min(block_a, _round_up(A, 8))
+    Tb = min(block_b, _round_up(B, 128))
+    Ap, Bp = _round_up(A, Ta), _round_up(B, Tb)
+    Xp = jnp.pad(X, ((0, 0), (0, Ap - A), (0, 0)))
+    Yp = jnp.pad(Y, ((0, 0), (0, Bp - B), (0, 0)))
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((G, Ap, Bp, O), jnp.float32),
+        grid=(G, Ap // Ta, Bp // Tb),
+        in_specs=[
+            pl.BlockSpec((1, Ta, K), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tb, K), lambda g, i, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K,), lambda g, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, O), lambda g, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O,), lambda g, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ta, Tb, O), lambda g, i, j: (g, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * Ap * Bp * K * O + G * Ap * Bp * K * 3,
+            bytes_accessed=4 * (G * Ap * K + G * Bp * K + K * O
+                                + G * Ap * Bp * O),
+            transcendentals=0,
+        ),
+    )(Xp, Yp, b1, W2, b2)
+    return out[:, :A, :B, :]
+
+
+def fused_grid_head(X, Y, b1, W2, b2, use_pallas: bool | None = None):
+    """Dispatch: Pallas on TPU, XLA oracle elsewhere (or when forced)."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        return grid_head_pallas(X, Y, b1, W2, b2)
+    return grid_head_reference(X, Y, b1, W2, b2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

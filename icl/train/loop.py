@@ -1,0 +1,109 @@
+"""Generic training loop: stepping, logging, checkpointing, profiling (L5).
+
+Replaces Keras ``model.fit`` (SURVEY §4.1).  The loop is task-agnostic: the
+CLI hands it a jitted ``step_fn`` and a ``make_batches(epoch_rng)`` factory
+yielding per-step argument tuples (already device-ready; sharded by the
+caller when a mesh is active).  Subsystems wired per SURVEY §5:
+
+* §5.1 tracing  — ``profile_dir`` wraps the loop in ``jax.profiler`` traces;
+  per-step wall clock + examples/sec logged every ``log_every`` steps;
+* §5.3/5.4      — orbax checkpoint every ``ckpt_every`` steps + at end;
+  ``resume='auto'`` restores latest before training;
+* §5.5 metrics  — JSONL stream (one object per logged step) next to the
+  checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from icl.train.checkpoint import Checkpointer
+from icl.train.state import TrainState
+from icl.util.log import LOG
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    epochs: int = 10
+    ckpt_dir: str | None = None
+    ckpt_every: int = 200
+    log_every: int = 20
+    profile_dir: str | None = None
+    resume: str = "none"          # "none" | "auto"
+    metrics_path: str | None = None
+    seed: int = 0
+
+
+def run_training(state: TrainState, step_fn: Callable,
+                 make_batches: Callable[[np.random.Generator], Iterable[tuple]],
+                 cfg: LoopConfig) -> TrainState:
+    ckpt = Checkpointer(cfg.ckpt_dir) if cfg.ckpt_dir else None
+    if ckpt and cfg.resume == "auto":
+        before = int(state.step)
+        state = ckpt.restore(state)
+        if int(state.step) != before:
+            LOG.info("resumed from checkpoint at step %d", int(state.step))
+
+    metrics_f = None
+    if cfg.metrics_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cfg.metrics_path)),
+                    exist_ok=True)
+        metrics_f = open(cfg.metrics_path, "a", encoding="utf-8")
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+    try:
+        rng = np.random.default_rng(cfg.seed)
+        # resume determinism: replay epoch rngs consumed before the restore
+        # point is the caller's concern; epoch order is seeded per epoch here
+        t_last = time.perf_counter()
+        ex_since = 0
+        for epoch in range(cfg.epochs):
+            epoch_rng = np.random.default_rng(rng.integers(2**63))
+            for args in make_batches(epoch_rng):
+                state, metrics = step_fn(state, *args)
+                step = int(state.step)
+                ex_since += _batch_examples(args)
+                if step % cfg.log_every == 0:
+                    loss = float(metrics["loss"])
+                    acc = float(metrics.get("acc", np.nan))
+                    now = time.perf_counter()
+                    rate = ex_since / max(now - t_last, 1e-9)
+                    t_last, ex_since = now, 0
+                    LOG.info("epoch %d step %d loss %.4f acc %.3f (%.0f ex/s)",
+                             epoch, step, loss, acc, rate)
+                    if metrics_f:
+                        metrics_f.write(json.dumps(
+                            {"epoch": epoch, "step": step, "loss": loss,
+                             "acc": acc, "examples_per_sec": rate}) + "\n")
+                        metrics_f.flush()
+                if ckpt and cfg.ckpt_every and step % cfg.ckpt_every == 0:
+                    ckpt.save(state)
+        if ckpt:
+            ckpt.save(state, wait=True)
+            ckpt.close()
+    finally:
+        if cfg.profile_dir:
+            jax.profiler.stop_trace()
+        if metrics_f:
+            metrics_f.close()
+    return state
+
+
+def _batch_examples(args: tuple) -> int:
+    """Best-effort example count for throughput logging."""
+    for a in args:
+        if isinstance(a, dict):
+            for key in ("pair_valid", "grid_valid"):
+                if key in a:
+                    return int(np.asarray(a[key]).sum())
+        elif getattr(a, "dtype", None) == bool:
+            return int(np.asarray(a).sum())
+    return 0

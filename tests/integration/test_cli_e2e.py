@@ -1,0 +1,90 @@
+"""E2E tiny runs per task through the real CLI mains (SURVEY §7.4).
+
+.feats → train → checkpoint → predict → .scores → format validity, on CPU.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from icl.io.scores import read_scores
+
+
+@pytest.fixture(scope="module")
+def cli_dir(tmp_path_factory):
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = str(tmp_path_factory.mktemp("cli"))
+    generate_dataset(d, "train", SynthConfig(num_images=6, seed=11))
+    generate_dataset(d, "dev", SynthConfig(num_images=3, seed=12))
+    return d
+
+
+def _common(d, split="dev"):
+    return ["--data_dir", d, "--data_split", split]
+
+
+def test_nonvisual_cli_e2e(cli_dir, capsys):
+    from icl.cli.nonvisual import main
+    main(["--train", "--data_dir", cli_dir, "--epochs", "4",
+          "--batch_size", "32", "--hidden_width", "16"])
+    assert os.path.exists(os.path.join(cli_dir, "nonvisual.model",
+                                       "model_config.json"))
+    main(["--predict", "--eval", "--hidden_width", "16",
+          *_common(cli_dir)])
+    out = capsys.readouterr().out
+    assert "Accuracy:" in out
+    sp = os.path.join(cli_dir, "dev.nonvisual.scores")
+    ids, probs = read_scores(sp)
+    assert probs.shape[1] == 2
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=2e-6)
+    meta = json.load(open(sp + ".meta.json"))
+    assert meta["class_order"] == ["visual", "nonvisual"]
+
+
+def test_relation_cli_e2e(cli_dir):
+    from icl.cli.relation import main
+    small = ["--lstm_hidden_width", "8", "--head_hidden", "16",
+             "--images_per_batch", "2"]
+    main(["--train", "--data_dir", cli_dir, "--epochs", "2", *small])
+    main(["--predict", *_common(cli_dir), *small])
+    sp = os.path.join(cli_dir, "dev.relation.scores")
+    ids, probs = read_scores(sp)
+    assert probs.shape[1] == 4
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=2e-6)
+    # ids follow the relation pair scheme
+    assert all(i.startswith("doc:") and ";caption_1:" in i for i in ids)
+
+
+def test_affinity_cli_e2e(cli_dir):
+    from icl.cli.affinity import main
+    small = ["--lstm_hidden_width", "8", "--head_hidden", "16",
+             "--images_per_batch", "2"]
+    main(["--train", "--data_dir", cli_dir, "--epochs", "2", *small])
+    main(["--predict", *_common(cli_dir), *small])
+    ids, probs = read_scores(os.path.join(cli_dir, "dev.affinity.scores"))
+    assert probs.shape[1] == 2
+    assert all(";box:" in i for i in ids)
+
+
+def test_predict_determinism(cli_dir):
+    """Bitwise-identical .scores across repeated predicts (SURVEY §7.3)."""
+    from icl.cli.nonvisual import main
+    s1 = os.path.join(cli_dir, "det1.scores")
+    s2 = os.path.join(cli_dir, "det2.scores")
+    main(["--predict", *_common(cli_dir), "--hidden_width", "16",
+          "--scores_file", s1])
+    main(["--predict", *_common(cli_dir), "--hidden_width", "16",
+          "--scores_file", s2])
+    assert open(s1, "rb").read() == open(s2, "rb").read()
+
+
+def test_cardinality_cli_e2e(cli_dir):
+    from icl.cli.cardinality import main
+    main(["--train", "--data_dir", cli_dir, "--epochs", "2",
+          "--batch_size", "32", "--hidden_width", "16"])
+    main(["--predict", *_common(cli_dir), "--hidden_width", "16"])
+    ids, probs = read_scores(os.path.join(cli_dir, "dev.cardinality.scores"))
+    assert probs.shape[1] == 12
