@@ -1,0 +1,254 @@
+#!/usr/bin/env python3
+"""Headline benchmark: caption mention-pairs/sec per chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the relation scoring path (BiLSTM caption encoder + pair head at
+the reference dims of SURVEY §6.4: lstm 200/dir, head 800, w2v-300) over
+Flickr30k-shaped batches.  ``vs_baseline`` is the speedup over the
+reference-style pipeline rate: the same model executed per-example through
+the Keras-3 CPU oracle (one ``predict`` per pair — how the reference ran,
+SURVEY §4.2), measured once on this machine and cached in
+``BASELINE_MEASURED.json``.  Driver target: ≥ 50× (BASELINE.md).
+
+Flags: --images N (batch size), --iters N, --denominator (force remeasure),
+--full (also bench affinity + write BENCHMARKS.md), --dtype bf16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+MEASURED = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+# Flickr30k-shaped workload (5 captions/image, ~16 mentions → 120 pairs)
+VOCAB, DIM, C, L, M = 20_000, 300, 5, 32, 16
+LSTM_H, HEAD_H = 200, 800
+
+
+def build_workload(images: int, seed: int = 0):
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
+    batch = ge._synth_relation_batch(rng, I=images, C=C, L=L, M=M, vocab=VOCAB)
+    return table, batch
+
+
+def _fixed_latency():
+    """Per-call host↔device roundtrip overhead (the axon relay adds ~30 ms;
+    block_until_ready alone does not guarantee completion through it, so all
+    timing here uses scalar host transfers and subtracts this latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(tiny(jnp.float32(0)))
+    return (time.perf_counter() - t0) / 5
+
+
+def _timed_scan_rate(run_fn, args, work_items: int) -> float:
+    """Time a jitted scan-over-batches program returning a scalar.
+
+    The scan makes execution inherently sequential on device; the scalar
+    return forces true completion through the relay.  Rate excludes the
+    fixed per-call latency.
+    """
+    lat = _fixed_latency()
+    float(run_fn(*args))                         # compile + warm
+    t0 = time.perf_counter()
+    float(run_fn(*args))
+    dt = time.perf_counter() - t0
+    return work_items / max(dt - lat, 1e-9)
+
+
+def bench_relation_tpu(images: int, nbatches: int, fused: bool, dtype: str):
+    import jax
+    import jax.numpy as jnp
+    from icl.models import RelationModel
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
+    import __graft_entry__ as ge
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[ge._synth_relation_batch(np.random.default_rng(s), I=images, C=C,
+                                   L=L, M=M, vocab=VOCAB)
+          for s in range(nbatches)])
+    cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    model = RelationModel(lstm_hidden=LSTM_H, head_hidden=HEAD_H,
+                          compute_dtype=cd, fused=fused)
+    one = jax.tree.map(lambda x: x[0], stacked)
+    params = model.init(jax.random.PRNGKey(0), table, one)["params"]
+
+    @jax.jit
+    def run(params, table, stacked):
+        def step(carry, batch):
+            probs = jax.nn.softmax(
+                model.apply({"params": params}, table, batch,
+                            deterministic=True), axis=-1)
+            return carry + jnp.sum(probs), None
+        total, _ = jax.lax.scan(step, jnp.float32(0), stacked)
+        return total
+
+    pairs = nbatches * images * (M * (M - 1) // 2)
+    return _timed_scan_rate(run, (params, table, stacked), pairs)
+
+
+def measure_reference_denominator(n_pairs: int = 200) -> float:
+    """Reference-style rate: per-example Keras predict over single pairs.
+
+    Mirrors SURVEY §4.2's reference call stack: the model (BiLSTM caption
+    encoder + pair head) is BUILT ONCE — as the reference's compiled Keras
+    model was — then driven one pair per ``predict`` call, re-encoding both
+    captions for every pair exactly as the reference's O(M²) loop did.
+    """
+    os.environ.setdefault("KERAS_BACKEND", "torch")
+    import keras
+    import torch
+
+    fwd = keras.layers.LSTM(LSTM_H, return_sequences=True)
+    bwd = keras.layers.LSTM(LSTM_H, return_sequences=True, go_backwards=True)
+    d1 = keras.layers.Dense(HEAD_H, activation="relu")
+    d2 = keras.layers.Dense(4, activation="softmax")
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1
+    toks = rng.integers(1, VOCAB, size=(2, L))
+
+    def one_pair():
+        x = keras.ops.convert_to_tensor(emb[toks])      # re-embed per pair
+        with torch.no_grad():
+            f = np.asarray(fwd(x))
+            b = np.asarray(bwd(x))[:, ::-1]
+            enc = np.concatenate([f, b], -1)
+            m_i = np.concatenate([enc[0, 0], enc[0, -1]])
+            m_j = np.concatenate([enc[1, 0], enc[1, -1]])
+            pair = keras.ops.convert_to_tensor(
+                np.concatenate([m_i, m_j])[None])
+            return np.asarray(d2(d1(pair)))
+
+    one_pair()                                          # build + warm
+    t0 = time.perf_counter()
+    for _ in range(n_pairs):
+        one_pair()
+    dt = time.perf_counter() - t0
+    return n_pairs / dt
+
+
+def bench_affinity_tpu(images: int, nbatches: int, fused: bool, dtype: str):
+    import jax
+    import jax.numpy as jnp
+    from icl.models import AffinityModel
+
+    Mm, B = 16, 24
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
+
+    def one_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "phrase_tokens": jnp.asarray(
+                r.integers(1, VOCAB, size=(images, Mm, 8)).astype(np.int32)),
+            "phrase_len": jnp.asarray(
+                r.integers(1, 6, size=(images, Mm)).astype(np.int32)),
+            "box_feats": jnp.asarray(
+                r.normal(size=(images, B, 4096)).astype(np.float32) * 0.1),
+            "box_valid": jnp.ones((images, B), bool),
+            "grid_label": jnp.zeros((images, Mm, B), jnp.int32),
+            "grid_valid": jnp.ones((images, Mm, B), bool),
+            "img_valid": jnp.ones((images,), bool),
+        }
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[one_batch(s) for s in range(nbatches)])
+    one = jax.tree.map(lambda x: x[0], stacked)
+    cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    model = AffinityModel(lstm_hidden=LSTM_H, head_hidden=1024,
+                          compute_dtype=cd, fused=fused)
+    params = model.init(jax.random.PRNGKey(0), table, one)["params"]
+
+    @jax.jit
+    def run(params, table, stacked):
+        def step(carry, batch):
+            probs = jax.nn.softmax(
+                model.apply({"params": params}, table, batch,
+                            deterministic=True), axis=-1)
+            return carry + jnp.sum(probs), None
+        total, _ = jax.lax.scan(step, jnp.float32(0), stacked)
+        return total
+
+    return _timed_scan_rate(run, (params, table, stacked),
+                            nbatches * images * Mm * B)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--denominator", action="store_true",
+                    help="force remeasure of the reference CPU rate")
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--no-fused", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    fused = (platform == "tpu") and not args.no_fused
+
+    rate = bench_relation_tpu(args.images, args.iters, fused, args.dtype)
+
+    ref_rate = None
+    if os.path.exists(MEASURED) and not args.denominator:
+        with open(MEASURED) as f:
+            ref_rate = json.load(f).get("reference_pairs_per_sec")
+    if ref_rate is None:
+        ref_rate = measure_reference_denominator()
+        with open(MEASURED, "w") as f:
+            json.dump({"reference_pairs_per_sec": ref_rate,
+                       "note": "Keras-3 CPU oracle, one predict per pair "
+                               "(reference-style per-example loop, SURVEY §4.2)",
+                       "workload": {"vocab": VOCAB, "dim": DIM, "L": L,
+                                    "lstm": LSTM_H, "head": HEAD_H}}, f,
+                      indent=2)
+
+    result = {
+        "metric": "caption_mention_pairs_per_sec",
+        "value": round(rate, 1),
+        "unit": f"pairs/s/chip ({platform}, {args.dtype}"
+                f"{', fused' if fused else ''})",
+        "vs_baseline": round(rate / ref_rate, 1),
+    }
+    if args.full:
+        aff = bench_affinity_tpu(min(args.images, 32), args.iters, fused,
+                                 args.dtype)
+        with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
+            f.write(
+                "# Benchmarks\n\n"
+                f"Platform: {platform}; dtype {args.dtype}; fused={fused}\n\n"
+                "| metric | value | unit |\n|---|---|---|\n"
+                f"| caption mention-pairs/sec | {rate:,.0f} | pairs/s/chip |\n"
+                f"| phrase-box affinities/sec | {aff:,.0f} | cells/s/chip |\n"
+                f"| reference pipeline rate (Keras-3 CPU oracle, per-example)"
+                f" | {ref_rate:,.1f} | pairs/s |\n"
+                f"| speedup vs reference | {rate / ref_rate:,.0f}x | ≥50x "
+                "target (BASELINE.md) |\n\n"
+                "\"Bit-compatible\" parity is operationalized per SURVEY "
+                "§7.3: bitwise-deterministic .scores across runs of this "
+                "pipeline + ≤1e-5 probability parity vs the Keras-3 oracle "
+                "(tests/parity/).\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,18 @@ def write_scores(
     probs = np.asarray(probs, dtype=np.float64)
     if probs.ndim != 2 or probs.shape[0] != len(ids):
         raise ValueError(f"probs shape {probs.shape} does not match {len(ids)} ids")
-    with open(path, "w", encoding="utf-8", newline="\n") as f:
-        for eid, row in zip(ids, probs):
-            f.write(eid + "," + ",".join(f"{p:.6f}" for p in row) + "\n")
+    wrote = False
+    try:
+        # C++ fast path (byte-identical to the Python loop; tested)
+        from icl.native.feats import write_scores_native
+
+        wrote = write_scores_native(path, list(ids), probs)
+    except Exception:
+        wrote = False
+    if not wrote:
+        with open(path, "w", encoding="utf-8", newline="\n") as f:
+            for eid, row in zip(ids, probs):
+                f.write(eid + "," + ",".join(f"{p:.6f}" for p in row) + "\n")
     info = {"num_examples": len(ids), "num_classes": int(probs.shape[1])}
     if class_order is not None:
         info["class_order"] = list(class_order)

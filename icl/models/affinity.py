@@ -42,6 +42,7 @@ class AffinityModel(nn.Module):
     num_classes: int = 2
     phrase_enc: str = "lstm"
     compute_dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, emb_table: jnp.ndarray, batch: dict,
@@ -63,13 +64,27 @@ class AffinityModel(nn.Module):
         phrase = ph.reshape(I, M, -1)
 
         # split Dense(head_hidden) over the concat: one GEMM per side
-        p_proj = nn.Dense(self.head_hidden, use_bias=True,
-                          name="head_dense_phrase")(phrase)       # [I,M,K]
-        b_proj = nn.Dense(self.head_hidden, use_bias=False,
-                          name="head_dense_box")(boxes)           # [I,B,K]
-        h = nn.relu(p_proj[:, :, None, :] + b_proj[:, None, :, :])  # [I,M,B,K]
+        from icl.models._dense import DenseParams
+        from icl.ops.grid_head import fused_grid_head
+
+        Dp, Db = phrase.shape[-1], boxes.shape[-1]
+        Wp, bp = DenseParams(Dp, self.head_hidden,
+                             name="head_dense_phrase")()
+        Wb, _ = DenseParams(Db, self.head_hidden, use_bias=False,
+                            name="head_dense_box")()
+        W2, b2 = DenseParams(self.head_hidden, self.num_classes,
+                             name="head_out")()
+        p_proj = phrase @ Wp                                      # [I,M,K]
+        b_proj = boxes @ Wb                                       # [I,B,K]
+
+        if self.fused and deterministic:
+            # K2: grid add+relu+head GEMM in VMEM — the [I,M,B,K] activation
+            # never reaches HBM
+            return fused_grid_head(p_proj, b_proj, bp, W2, b2)    # [I,M,B,O]
+
+        h = nn.relu(p_proj[:, :, None, :] + b_proj[:, None, :, :] + bp)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_classes, name="head_out")(h)     # [I,M,B,2]
+        return h @ W2 + b2                                        # [I,M,B,2]
 
 
 def rank_boxes(logits: jnp.ndarray, box_valid: jnp.ndarray) -> jnp.ndarray:

@@ -54,17 +54,38 @@ def gather_pair_reps(mention_reps: jnp.ndarray, pair_ij: jnp.ndarray) -> jnp.nda
 
 
 class RelationModel(nn.Module):
-    """Image-batch relation model; returns logits [I, P, 4]."""
+    """Image-batch relation model; returns logits [I, P, 4].
+
+    The head is computed in the *distributed* form: with the §6.4 pair
+    vector [m_i; m_j] and head kernel W = [W_top; W_bot],
+
+        relu([m_i; m_j] @ W + b) == relu(m_i @ W_top + m_j @ W_bot + b)
+
+    so each mention is projected ONCE ([I,M,4H]@[4H,hidden] — M GEMM rows)
+    instead of once per pair (P ≈ M²/2 rows): ~M/2× fewer head FLOPs.  The
+    parameter tree is identical to the concat formulation (head_dense/
+    {kernel,bias}) and the Keras oracle runs the concat form — the parity
+    test proves the algebraic restructuring.
+
+    ``fused=True`` (predict-only) computes the full M×M logit grid with the
+    Pallas grid-head kernel (icl.ops.grid_head, K1) and gathers pair cells;
+    training keeps the gather form because dropout needs the [I,P,hidden]
+    activations.
+    """
 
     lstm_hidden: int = 200
     head_hidden: int = 800
     dropout: float = 0.5
     num_classes: int = 4
     compute_dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, emb_table: jnp.ndarray, batch: dict,
                  deterministic: bool = True):
+        from icl.models._dense import DenseParams
+        from icl.ops.grid_head import fused_grid_head
+
         tokens = batch["tokens"]          # [I, C, L]
         tok_len = batch["tok_len"]        # [I, C]
         I, C, L = tokens.shape
@@ -73,9 +94,26 @@ class RelationModel(nn.Module):
                              name="caption_bilstm")(x, tok_len.reshape(I * C))
         enc = enc_flat.reshape(I, C, L, 2 * self.lstm_hidden)
         mreps = gather_mention_reps(enc, batch["m_cap"], batch["m_first"],
-                                    batch["m_last"])              # [I,M,4H]
-        preps = gather_pair_reps(mreps, batch["pair_ij"])         # [I,P,8H]
-        h = nn.Dense(self.head_hidden, name="head_dense")(preps)
+                                    batch["m_last"])              # [I,M,R]
+        R = mreps.shape[-1]
+        W1, b1 = DenseParams(2 * R, self.head_hidden, name="head_dense")()
+        W2, b2 = DenseParams(self.head_hidden, self.num_classes,
+                             name="head_out")()
+        proj_i = mreps @ W1[:R]                                   # [I,M,K]
+        proj_j = mreps @ W1[R:]
+        pair_ij = batch["pair_ij"]
+
+        if self.fused and deterministic:
+            grid = fused_grid_head(proj_i, proj_j, b1, W2, b2)    # [I,M,M,O]
+            ii = jnp.arange(I, dtype=jnp.int32)[:, None]
+            return grid[ii, pair_ij[:, :, 0], pair_ij[:, :, 1]]   # [I,P,O]
+
+        M = mreps.shape[1]
+        flat_i = proj_i.reshape(I * M, -1)
+        flat_j = proj_j.reshape(I * M, -1)
+        img_off = (jnp.arange(I, dtype=jnp.int32) * M)[:, None]
+        h = (jnp.take(flat_i, img_off + pair_ij[:, :, 0], axis=0)
+             + jnp.take(flat_j, img_off + pair_ij[:, :, 1], axis=0) + b1)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_classes, name="head_out")(h)
+        return h @ W2 + b2

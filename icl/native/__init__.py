@@ -1,0 +1,52 @@
+"""ctypes bindings to the C++ native IO library (SURVEY §3.2 N2).
+
+The shared library is built from ``native/icl_native.cpp`` (``make -C
+native``); on first import this module attempts a lazy build when the .so is
+missing and a compiler is available (disable with ICL_NO_NATIVE_BUILD=1).
+All callers fall back to the pure-Python implementations when the library
+is unavailable — native is an optimization layer, never a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libicl_native.so")
+_lib = None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and os.environ.get(
+            "ICL_NO_NATIVE_BUILD") != "1":
+        native_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                  "native")
+        if os.path.exists(os.path.join(native_dir, "Makefile")):
+            try:
+                subprocess.run(["make", "-C", native_dir], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.feats_parse.restype = ctypes.c_void_p
+    lib.feats_parse.argtypes = [ctypes.c_char_p]
+    for fn in ("feats_num_examples", "feats_num_entries",
+               "feats_id_buffer_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.feats_fill.restype = None
+    lib.feats_free.restype = None
+    lib.feats_free.argtypes = [ctypes.c_void_p]
+    lib.scores_write.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None

@@ -1,0 +1,158 @@
+// icl_native — fast IO paths for the icl framework (layer L3 native).
+//
+// Reference parity: the reference stack's native IO lived in its
+// dependencies (gensim Cython readers; SURVEY.md §3.2 N2).  This library is
+// the rebuild's equivalent: a single-pass `.feats` parser (LibSVM-style
+// lines with trailing `# id` comments, SURVEY §6.1) and a `.scores` writer
+// (§6.2, "%.6f" natural probabilities) exposed through a C ABI consumed via
+// ctypes (icl/native/__init__.py).  Python fallbacks exist for both and are
+// tested for byte/value equality (tests/unit/test_feats.py).
+//
+// Build: `make -C native` → icl/native/libicl_native.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct FeatsData {
+  std::vector<double> labels;
+  std::vector<int32_t> row_offsets;  // size n_examples+1 into indices/values
+  std::vector<int32_t> indices;
+  std::vector<float> values;
+  std::string id_buffer;             // ids concatenated with '\0'
+  std::vector<int64_t> id_offsets;   // size n_examples into id_buffer
+  std::string error;
+};
+
+// Parse one line in place; returns false for blank/comment lines.
+bool parse_line(const char* p, const char* end, FeatsData* out) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  if (p >= end || *p == '#' || *p == '\n') return false;
+
+  char* next = nullptr;
+  double label = strtod(p, &next);
+  if (next == p) return false;  // malformed label: skip line defensively
+  p = next;
+
+  out->labels.push_back(label);
+  while (true) {
+    while (p < end && (*p == ' ' || *p == '\t')) ++p;
+    if (p >= end || *p == '\n' || *p == '\r') break;
+    if (*p == '#') {  // trailing id comment
+      ++p;
+      while (p < end && *p == ' ') ++p;
+      const char* id_start = p;
+      const char* id_end = p;
+      while (id_end < end && *id_end != '\n' && *id_end != '\r') ++id_end;
+      while (id_end > id_start && id_end[-1] == ' ') --id_end;
+      out->id_offsets.back() = (int64_t)out->id_buffer.size();
+      out->id_buffer.append(id_start, id_end - id_start);
+      out->id_buffer.push_back('\0');
+      break;
+    }
+    long idx = strtol(p, &next, 10);
+    if (next == p || *next != ':') break;  // malformed token: stop the line
+    p = next + 1;
+    float val = strtof(p, &next);
+    if (next == p) break;
+    p = next;
+    out->indices.push_back((int32_t)idx);
+    out->values.push_back(val);
+  }
+  out->row_offsets.push_back((int32_t)out->indices.size());
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle (or nullptr on IO failure).
+void* feats_parse(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (size > 0 && fread(&buf[0], 1, size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* data = new FeatsData();
+  data->row_offsets.push_back(0);
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* line_end = nl ? nl : end;
+    data->id_offsets.push_back(-1);  // provisional; set by parse_line
+    if (!parse_line(p, line_end, data)) {
+      data->id_offsets.pop_back();   // line produced no example
+    }
+    p = nl ? nl + 1 : end;
+  }
+  return data;
+}
+
+int64_t feats_num_examples(void* h) {
+  return (int64_t)((FeatsData*)h)->labels.size();
+}
+
+int64_t feats_num_entries(void* h) {
+  return (int64_t)((FeatsData*)h)->indices.size();
+}
+
+int64_t feats_id_buffer_size(void* h) {
+  return (int64_t)((FeatsData*)h)->id_buffer.size();
+}
+
+// Copies parsed columns into caller-allocated buffers.
+void feats_fill(void* h, double* labels, int32_t* row_offsets,
+                int32_t* indices, float* values, char* id_buffer,
+                int64_t* id_offsets) {
+  auto* d = (FeatsData*)h;
+  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
+  memcpy(row_offsets, d->row_offsets.data(),
+         d->row_offsets.size() * sizeof(int32_t));
+  memcpy(indices, d->indices.data(), d->indices.size() * sizeof(int32_t));
+  memcpy(values, d->values.data(), d->values.size() * sizeof(float));
+  memcpy(id_buffer, d->id_buffer.data(), d->id_buffer.size());
+  memcpy(id_offsets, d->id_offsets.data(),
+         d->id_offsets.size() * sizeof(int64_t));
+}
+
+void feats_free(void* h) { delete (FeatsData*)h; }
+
+// Write a .scores file (§6.2): one "<id>,<p0>,...,<pC-1>\n" per row with
+// 6-decimal fixed formatting.  Returns 0 on success.
+int scores_write(const char* path, const char* const* ids, const double* probs,
+                 int64_t n, int32_t c) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  std::string line;
+  char num[32];
+  for (int64_t i = 0; i < n; ++i) {
+    line.assign(ids[i]);
+    for (int32_t j = 0; j < c; ++j) {
+      int len = snprintf(num, sizeof(num), ",%.6f", probs[i * c + j]);
+      line.append(num, len);
+    }
+    line.push_back('\n');
+    if (fwrite(line.data(), 1, line.size(), f) != line.size()) {
+      fclose(f);
+      return -2;
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

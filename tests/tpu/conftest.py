@@ -1,0 +1,20 @@
+"""TPU-only tests: opt-in via ICL_TPU_TESTS=1 (SURVEY §7.4).
+
+This conftest intentionally does NOT force the CPU platform — it must run
+before tests/conftest.py's override would... it cannot: tests/conftest.py
+runs first for the whole suite.  TPU tests therefore run in a SEPARATE
+pytest invocation: ``ICL_TPU_TESTS=1 pytest tests/tpu -p no:cacheprovider``
+with the default axon platform env, and skip themselves when the platform
+is not TPU.
+"""
+
+import os
+
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("ICL_TPU_TESTS") != "1":
+        skip = pytest.mark.skip(reason="TPU tests opt-in: set ICL_TPU_TESTS=1")
+        for item in items:
+            item.add_marker(skip)
