@@ -57,19 +57,23 @@ def _fixed_latency():
     return (time.perf_counter() - t0) / 5
 
 
-def _timed_scan_rate(run_fn, args, work_items: int) -> float:
+def _timed_scan_rate(run_fn, args, work_items: int, repeats: int = 3) -> float:
     """Time a jitted scan-over-batches program returning a scalar.
 
     The scan makes execution inherently sequential on device; the scalar
-    return forces true completion through the relay.  Rate excludes the
-    fixed per-call latency.
+    return forces true completion through the relay.  Relay latency is
+    additive noise (~30 ms ± jitter), so take the MINIMUM of several timed
+    calls and subtract the measured fixed latency.  Callers should size the
+    scan so device time ≫ latency (≥ 200 ms) for a stable rate.
     """
     lat = _fixed_latency()
     float(run_fn(*args))                         # compile + warm
-    t0 = time.perf_counter()
-    float(run_fn(*args))
-    dt = time.perf_counter() - t0
-    return work_items / max(dt - lat, 1e-9)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return work_items / max(best - lat, 1e-9)
 
 
 def bench_relation_tpu(images: int, nbatches: int, fused: bool, dtype: str):
@@ -194,7 +198,9 @@ def bench_affinity_tpu(images: int, nbatches: int, fused: bool, dtype: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100,
+                    help="batches scanned per timed call; keep device time "
+                         "well above the ~30ms relay latency")
     ap.add_argument("--denominator", action="store_true",
                     help="force remeasure of the reference CPU rate")
     ap.add_argument("--full", action="store_true")

@@ -69,6 +69,32 @@ def default_model_dir(args, task: str) -> str:
                                            f"{task}.model")
 
 
+def dump_run_config(args, model_dir: str) -> None:
+    """Write the fully-resolved flag set next to the checkpoints
+    (SURVEY §5.6: config dump for reproducibility)."""
+    import json
+    import subprocess
+
+    os.makedirs(model_dir, exist_ok=True)
+    info = {k: v for k, v in vars(args).items()}
+    try:
+        import jax
+
+        info["_platform"] = jax.devices()[0].platform
+        info["_num_devices"] = jax.device_count()
+    except Exception:
+        pass
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                             text=True, timeout=5).stdout.strip()
+        if sha:
+            info["_git_sha"] = sha
+    except Exception:
+        pass
+    with open(os.path.join(model_dir, "train_config.json"), "w") as f:
+        json.dump(info, f, indent=2, sort_keys=True, default=str)
+
+
 def default_scores_path(args, task: str) -> str:
     return args.scores_file or os.path.join(
         args.data_dir, f"{args.data_split}.{task}.scores")

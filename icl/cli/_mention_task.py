@@ -15,7 +15,7 @@ import numpy as np
 
 from icl import runtime
 from icl.cli._common import (default_model_dir, default_scores_path,
-                             load_embeddings)
+                             dump_run_config, load_embeddings)
 from icl.data.buckets import Bucketizer, BucketSpec
 from icl.data.pipeline import load_mention_dataset
 from icl.dist.mesh import data_axis_size, replicate, shard_batch
@@ -37,6 +37,11 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     LOG.info("%s %s: %d mentions", task, args.data_split, len(ds.ids))
 
     hidden = args.hidden_width or 300
+    if args.predict:
+        cfg_path = os.path.join(default_model_dir(args, task),
+                                "model_config.json")
+        if os.path.exists(cfg_path):
+            hidden = json.load(open(cfg_path)).get("hidden", hidden)
     model = model_cls(hidden=hidden, dropout=args.dropout,
                       num_classes=len(classes))
     pooled0 = mean_pool_tokens(jnp.asarray(emb.table),
@@ -68,6 +73,7 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                      jnp.asarray(b.arrays["labels"]),
                      jnp.asarray(b.valid)), rt.mesh)
 
+        dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed)

@@ -15,7 +15,8 @@ import numpy as np
 
 from icl import runtime
 from icl.cli._common import (base_parser, default_model_dir,
-                             default_scores_path, load_embeddings)
+                             default_scores_path, dump_run_config,
+                             load_embeddings)
 from icl.data.imagebatch import AffinityBatcher
 from icl.data.pipeline import load_affinity_dataset
 from icl.dist.mesh import data_axis_size, replicate, shard_batch
@@ -53,9 +54,19 @@ def main(argv=None) -> None:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
     batcher = AffinityBatcher(images_per_batch=ipb)
-    model = AffinityModel(lstm_hidden=args.lstm_hidden_width,
-                          head_hidden=args.head_hidden, dropout=args.dropout,
-                          phrase_enc=args.phrase_enc)
+    lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
+    phrase_enc = args.phrase_enc
+    if args.predict:
+        cfg_path = os.path.join(default_model_dir(args, "affinity"),
+                                "model_config.json")
+        if os.path.exists(cfg_path):
+            mc = json.load(open(cfg_path))
+            lstm_hidden = mc.get("lstm_hidden", lstm_hidden)
+            head_hidden = mc.get("head_hidden", head_hidden)
+            phrase_enc = mc.get("phrase_enc", phrase_enc)
+    model = AffinityModel(lstm_hidden=lstm_hidden,
+                          head_hidden=head_hidden, dropout=args.dropout,
+                          phrase_enc=phrase_enc)
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),
@@ -70,6 +81,7 @@ def main(argv=None) -> None:
                 jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
                 yield (shard_batch(jb, rt.mesh),)
 
+        dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed)

@@ -1,0 +1,75 @@
+"""icl-joint — joint relation + grounding inference over one split.
+
+Reference parity: BASELINE.json configs[3] ("Joint relation + grounding
+inference over full Flickr30k Entities val split, bucketed variable-length
+batches").  The joint ILP itself lives on the Java side (SURVEY §1); this
+entry point produces, in one invocation, every `.scores` file that solver
+consumes — nonvisual, relation, affinity (and cardinality when a trained
+model exists) — sharing one runtime/mesh/embedding load.
+"""
+
+from __future__ import annotations
+
+import os
+
+from icl.cli import affinity as aff_cli
+from icl.cli import nonvisual as nv_cli
+from icl.cli import relation as rel_cli
+from icl.cli._common import base_parser
+from icl.util.log import LOG
+
+
+def main(argv=None) -> None:
+    p = base_parser("joint", "Run nonvisual + relation + affinity predict "
+                             "over one split (the full Java-ILP input set).")
+    p.add_argument("--images_per_batch", type=int, default=8)
+    p.add_argument("--head_hidden", type=int, default=None,
+                   help="ignored; per-task model_config.json is used")
+    p.add_argument("--with_cardinality", action="store_true")
+    args = p.parse_args(argv)
+    if args.train:
+        p.error("icl-joint is inference-only; train per-task CLIs instead")
+
+    common = ["--predict", "--data_dir", args.data_dir,
+              "--data_split", args.data_split,
+              "--lstm_hidden_width", str(args.lstm_hidden_width),
+              "--seed", str(args.seed)]
+    if args.mesh:
+        common += ["--mesh", args.mesh]
+    if args.eval:
+        common += ["--eval"]
+
+    def model_cfg(task: str) -> dict:
+        import json
+        path = os.path.join(args.data_dir, f"{task}.model",
+                            "model_config.json")
+        return json.load(open(path)) if os.path.exists(path) else {}
+
+    LOG.info("joint inference over %s/%s", args.data_dir, args.data_split)
+    nv_cfg = model_cfg("nonvisual")
+    nv_cli.main(common + (["--hidden_width", str(nv_cfg["hidden"])]
+                          if "hidden" in nv_cfg else []))
+    rel_cfg = model_cfg("relation")
+    rel_cli.main(common
+                 + ["--images_per_batch", str(args.images_per_batch)]
+                 + (["--lstm_hidden_width", str(rel_cfg["lstm_hidden"]),
+                     "--head_hidden", str(rel_cfg["head_hidden"])]
+                    if "lstm_hidden" in rel_cfg else []))
+    aff_cfg = model_cfg("affinity")
+    aff_cli.main(common
+                 + ["--images_per_batch", str(args.images_per_batch)]
+                 + (["--lstm_hidden_width", str(aff_cfg["lstm_hidden"]),
+                     "--head_hidden", str(aff_cfg["head_hidden"]),
+                     "--phrase_enc", aff_cfg.get("phrase_enc", "lstm")]
+                    if "lstm_hidden" in aff_cfg else []))
+    if args.with_cardinality:
+        from icl.cli import cardinality as card_cli
+        card_cfg = model_cfg("cardinality")
+        card_cli.main(common + (["--hidden_width", str(card_cfg["hidden"])]
+                                if "hidden" in card_cfg else []))
+    LOG.info("joint inference complete: all .scores written for %s",
+             args.data_split)
+
+
+if __name__ == "__main__":
+    main()

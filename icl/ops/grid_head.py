@@ -70,8 +70,10 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     G, A, K = X.shape
     B = Y.shape[1]
     O = W2.shape[1]
+    # sublane-dim tiles need only 8-multiples; rounding small A/B up to the
+    # full block would pad 16-mention grids to 128 rows (8x wasted work)
     Ta = min(block_a, _round_up(A, 8))
-    Tb = min(block_b, _round_up(B, 128))
+    Tb = min(block_b, _round_up(B, 8))
     Ap, Bp = _round_up(A, Ta), _round_up(B, Tb)
     Xp = jnp.pad(X, ((0, 0), (0, Ap - A), (0, 0)))
     Yp = jnp.pad(Y, ((0, 0), (0, Bp - B), (0, 0)))

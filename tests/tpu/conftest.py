@@ -14,7 +14,11 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
+    # NOTE: this hook is global once the conftest loads — restrict to items
+    # under tests/tpu or it would skip the whole suite.
     if os.environ.get("ICL_TPU_TESTS") != "1":
         skip = pytest.mark.skip(reason="TPU tests opt-in: set ICL_TPU_TESTS=1")
+        here = os.path.dirname(os.path.abspath(__file__))
         for item in items:
-            item.add_marker(skip)
+            if str(item.fspath).startswith(here):
+                item.add_marker(skip)
