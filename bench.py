@@ -51,10 +51,14 @@ def _fixed_latency():
 
     tiny = jax.jit(lambda x: x + 1.0)
     float(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         float(tiny(jnp.float32(0)))
-    return (time.perf_counter() - t0) / 5
+        samples.append(time.perf_counter() - t0)
+    # min, not mean: latency spikes would inflate the subtraction and
+    # over-report rates
+    return min(samples)
 
 
 def _timed_scan_rate(run_fn, args, work_items: int, repeats: int = 3) -> float:
@@ -73,7 +77,11 @@ def _timed_scan_rate(run_fn, args, work_items: int, repeats: int = 3) -> float:
         t0 = time.perf_counter()
         float(run_fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return work_items / max(best - lat, 1e-9)
+    if best - lat < 0.5 * lat:
+        # device time is buried in relay latency — report the conservative
+        # no-subtraction lower bound instead of a nonsense division
+        return work_items / best
+    return work_items / (best - lat)
 
 
 def bench_relation_tpu(images: int, nbatches: int, fused: bool, dtype: str):
@@ -181,23 +189,65 @@ def bench_affinity_tpu(images: int, nbatches: int, fused: bool, dtype: str):
                           compute_dtype=cd, fused=fused)
     params = model.init(jax.random.PRNGKey(0), table, one)["params"]
 
+    # Scan over batch INDICES into the stacked buffer: sweeps the batch set
+    # several times for more device work per transferred byte.  Each step's
+    # batch is a device-side dynamic gather, so XLA cannot hoist the body.
+    sweeps = 4
+    idx = jnp.arange(nbatches * sweeps, dtype=jnp.int32) % nbatches
+
     @jax.jit
-    def run(params, table, stacked):
-        def step(carry, batch):
+    def run(params, table, stacked, idx):
+        def step(carry, i):
+            batch = jax.tree.map(lambda x: x[i], stacked)
             probs = jax.nn.softmax(
                 model.apply({"params": params}, table, batch,
                             deterministic=True), axis=-1)
             return carry + jnp.sum(probs), None
-        total, _ = jax.lax.scan(step, jnp.float32(0), stacked)
+        total, _ = jax.lax.scan(step, jnp.float32(0), idx)
         return total
 
-    return _timed_scan_rate(run, (params, table, stacked),
-                            nbatches * images * Mm * B)
+    return _timed_scan_rate(run, (params, table, stacked, idx),
+                            nbatches * sweeps * images * Mm * B)
+
+
+def bench_relation_train(images: int, nbatches: int, dtype: str):
+    """Training throughput: full fwd+bwd+Adam step, pairs/sec."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from icl.models import RelationModel
+    from icl.train import create_train_state, make_relation_train_step
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[ge._synth_relation_batch(np.random.default_rng(s), I=images, C=C,
+                                   L=L, M=M, vocab=VOCAB)
+          for s in range(nbatches)])
+    one = jax.tree.map(lambda x: x[0], stacked)
+    cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    model = RelationModel(lstm_hidden=LSTM_H, head_hidden=HEAD_H,
+                          compute_dtype=cd)
+    state = create_train_state(model, (table, one), seed=0)
+    step = make_relation_train_step(class_weights=[0.3, 1, 1, 1],
+                                    donate=False)
+
+    @jax.jit
+    def run(state, table, stacked):
+        def body(st, batch):
+            st, metrics = step(st, table, batch)
+            return st, metrics["loss"]
+        st, losses = jax.lax.scan(body, state, stacked)
+        return jnp.sum(losses)
+
+    pairs = nbatches * images * (M * (M - 1) // 2)
+    return _timed_scan_rate(run, (state, table, stacked), pairs)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--images", type=int, default=128)
     ap.add_argument("--iters", type=int, default=100,
                     help="batches scanned per timed call; keep device time "
                          "well above the ~30ms relay latency")
@@ -236,22 +286,39 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
     }
     if args.full:
-        aff = bench_affinity_tpu(min(args.images, 32), args.iters, fused,
-                                 args.dtype)
+        rate_bf16 = bench_relation_tpu(args.images, args.iters, fused, "bf16")
+        aff = bench_affinity_tpu(min(args.images, 32),
+                                 max(args.iters, 30), fused, args.dtype)
+        train_rate = bench_relation_train(args.images,
+                                          max(args.iters // 4, 10), "bf16")
         with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
             f.write(
                 "# Benchmarks\n\n"
-                f"Platform: {platform}; dtype {args.dtype}; fused={fused}\n\n"
+                f"Platform: {platform}; headline dtype {args.dtype}; "
+                f"fused={fused}; workload: Flickr30k-shaped relation batches "
+                f"(L={L}, C={C}, M={M}, lstm {LSTM_H}, head {HEAD_H}).\n\n"
                 "| metric | value | unit |\n|---|---|---|\n"
-                f"| caption mention-pairs/sec | {rate:,.0f} | pairs/s/chip |\n"
-                f"| phrase-box affinities/sec | {aff:,.0f} | cells/s/chip |\n"
+                f"| caption mention-pairs/sec (predict, {args.dtype}) | "
+                f"{rate:,.0f} | pairs/s/chip |\n"
+                f"| caption mention-pairs/sec (predict, bf16) | "
+                f"{rate_bf16:,.0f} | pairs/s/chip |\n"
+                f"| caption mention-pairs/sec (train fwd+bwd+Adam, bf16) | "
+                f"{train_rate:,.0f} | pairs/s/chip |\n"
+                f"| phrase-box affinities/sec (predict, {args.dtype}) | "
+                f"{aff:,.0f} | cells/s/chip |\n"
                 f"| reference pipeline rate (Keras-3 CPU oracle, per-example)"
                 f" | {ref_rate:,.1f} | pairs/s |\n"
-                f"| speedup vs reference | {rate / ref_rate:,.0f}x | ≥50x "
+                f"| speedup vs reference | {rate / ref_rate:,.0f}x | >=50x "
                 "target (BASELINE.md) |\n\n"
+                "Timing methodology: work is chained on-device via lax.scan "
+                "over distinct stacked batches inside one jit call, forced "
+                "by a scalar host transfer; best of 3 calls; the measured "
+                "fixed relay latency (~30ms) is subtracted. "
+                "block_until_ready alone over-reports through the axon "
+                "relay (see bench.py docstrings).\n\n"
                 "\"Bit-compatible\" parity is operationalized per SURVEY "
                 "§7.3: bitwise-deterministic .scores across runs of this "
-                "pipeline + ≤1e-5 probability parity vs the Keras-3 oracle "
+                "pipeline + <=1e-5 probability parity vs the Keras-3 oracle "
                 "(tests/parity/).\n")
     print(json.dumps(result))
 

@@ -37,6 +37,9 @@ def main(argv=None) -> None:
         "features, batched GEMM + per-image softmax.")
     p.add_argument("--images_per_batch", type=int, default=8)
     p.add_argument("--head_hidden", type=int, default=1024)
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas grid-head kernel at predict (auto: TPU only)")
     p.add_argument("--phrase_enc", default="lstm",
                    choices=["lstm", "mean_w2v"])
     args = p.parse_args(argv)
@@ -64,9 +67,14 @@ def main(argv=None) -> None:
             lstm_hidden = mc.get("lstm_hidden", lstm_hidden)
             head_hidden = mc.get("head_hidden", head_hidden)
             phrase_enc = mc.get("phrase_enc", phrase_enc)
+    import jax
+    use_fused = (args.fused == "on" or
+                 (args.fused == "auto"
+                  and jax.devices()[0].platform == "tpu"))
     model = AffinityModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
-                          phrase_enc=phrase_enc)
+                          phrase_enc=phrase_enc,
+                          fused=use_fused and bool(args.predict))
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),

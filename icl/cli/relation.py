@@ -41,6 +41,9 @@ def main(argv=None) -> None:
     p.add_argument("--null_weight", type=float, default=0.3,
                    help="CE weight of the dominant null class (§6.4)")
     p.add_argument("--head_hidden", type=int, default=800)
+    p.add_argument("--fused", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas grid-head kernel at predict (auto: TPU only)")
     args = p.parse_args(argv)
 
     rt = runtime.init(args.mesh, seed=args.seed)
@@ -64,8 +67,13 @@ def main(argv=None) -> None:
             mc = json.load(open(cfg_path))
             lstm_hidden = mc.get("lstm_hidden", lstm_hidden)
             head_hidden = mc.get("head_hidden", head_hidden)
+    import jax
+    use_fused = (args.fused == "on" or
+                 (args.fused == "auto"
+                  and jax.devices()[0].platform == "tpu"))
     model = RelationModel(lstm_hidden=lstm_hidden,
-                          head_hidden=head_hidden, dropout=args.dropout)
+                          head_hidden=head_hidden, dropout=args.dropout,
+                          fused=use_fused and bool(args.predict))
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),

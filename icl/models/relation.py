@@ -79,6 +79,7 @@ class RelationModel(nn.Module):
     num_classes: int = 4
     compute_dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    lstm_unroll: int = 1
 
     @nn.compact
     def __call__(self, emb_table: jnp.ndarray, batch: dict,
@@ -91,6 +92,7 @@ class RelationModel(nn.Module):
         I, C, L = tokens.shape
         x = jnp.take(emb_table, tokens.reshape(I * C, L), axis=0)  # [I*C, L, D]
         enc_flat, _ = BiLSTM(self.lstm_hidden, compute_dtype=self.compute_dtype,
+                             unroll=self.lstm_unroll,
                              name="caption_bilstm")(x, tok_len.reshape(I * C))
         enc = enc_flat.reshape(I, C, L, 2 * self.lstm_hidden)
         mreps = gather_mention_reps(enc, batch["m_cap"], batch["m_first"],

@@ -47,6 +47,7 @@ class LSTM(nn.Module):
     hidden: int
     reverse: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    unroll: int = 1   # scan unroll knob (measured neutral-to-negative on v5e)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
@@ -91,7 +92,8 @@ class LSTM(nn.Module):
             return (h, c), h
 
         init = (jnp.zeros((B, H), cd), jnp.zeros((B, H), cd))
-        (h_final, _), hs = jax.lax.scan(step, init, (xs_t, step_mask))
+        (h_final, _), hs = jax.lax.scan(step, init, (xs_t, step_mask),
+                                        unroll=self.unroll)
         outputs = jnp.swapaxes(hs, 0, 1)            # [B, L, H]
         if self.reverse:
             outputs = outputs[:, ::-1]
@@ -131,7 +133,7 @@ class BiLSTM(nn.Module):
 
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
-    unroll: int = 4   # amortize scan-loop overhead across the short seq axis
+    unroll: int = 1   # scan unroll knob (measured neutral-to-negative on v5e)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):

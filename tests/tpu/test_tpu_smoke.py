@@ -32,6 +32,25 @@ def test_grid_head_kernel_on_tpu():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_affinity_rank_kernel_on_tpu():
+    _require_tpu()
+    from icl.ops.affinity_rank import (affinity_rank_pallas,
+                                       affinity_rank_reference)
+    rng = np.random.default_rng(0)
+    G, A, B, K = 2, 16, 24, 256
+    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32))
+    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+    W2 = jnp.asarray(rng.normal(size=(K, 2)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    valid = rng.random((G, B)) < 0.8
+    valid[:, 0] = True
+    valid = jnp.asarray(valid)
+    out = np.asarray(affinity_rank_pallas(X, Y, b1, W2, b2, valid))
+    ref = np.asarray(affinity_rank_reference(X, Y, b1, W2, b2, valid))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_one_train_step_per_model_on_tpu(tmp_path):
     _require_tpu()
     from icl.testing.synth import SynthConfig, generate_dataset
