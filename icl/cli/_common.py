@@ -51,15 +51,51 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", default="none", choices=["none", "auto"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics_file", default=None)
+    p.add_argument("--no_prune_embeddings", dest="prune_embeddings",
+                   action="store_false",
+                   help="load the full embedding table instead of pruning "
+                        "to the split's caption vocabulary")
     p.add_argument("--eval", action="store_true",
                    help="with --predict: print a ScoreDict table vs gold")
+    p.add_argument("--oracle-parity", dest="oracle_parity",
+                   action="store_true",
+                   help="with --predict: re-run a sample of batches through "
+                        "the Keras-3 CPU oracle with identical weights and "
+                        "report max |p - p_oracle| vs the 1e-5 gate "
+                        "(SURVEY §7.3)")
     return p
+
+
+def report_parity(max_diff: float, gate: float = 1e-5) -> None:
+    verdict = "PASS" if max_diff <= gate else "FAIL"
+    LOG.info("oracle parity: max|p - p_oracle| = %.3e (gate %.0e): %s",
+             max_diff, gate, verdict)
+    print(f"oracle-parity {verdict}: max_abs_diff={max_diff:.3e} "
+          f"gate={gate:.0e}")
+
+
+def split_vocab(data_dir: str, split: str) -> set[str]:
+    """All words of a split's captions (for embedding-table pruning)."""
+    from icl.io.captions import read_captions
+
+    words: set[str] = set()
+    for cap in read_captions(os.path.join(data_dir,
+                                          f"{split}.captions.txt")).values():
+        words.update(cap.tokens)
+    return words
 
 
 def load_embeddings(args) -> EmbeddingStore:
     path = args.embeddings_file or os.path.join(args.data_dir, "embeddings.txt")
-    LOG.info("loading embeddings from %s", path)
-    emb = EmbeddingStore.load(path)
+    restrict = None
+    if getattr(args, "prune_embeddings", True):
+        try:
+            restrict = split_vocab(args.data_dir, args.data_split)
+        except FileNotFoundError:
+            restrict = None
+    LOG.info("loading embeddings from %s%s", path,
+             f" (pruned to {len(restrict)} split words)" if restrict else "")
+    emb = EmbeddingStore.load(path, restrict_to=restrict)
     LOG.info("embeddings: %d words, dim %d", len(emb.vocab), emb.dim)
     return emb
 

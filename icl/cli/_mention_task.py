@@ -103,6 +103,16 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         for row, eid in enumerate(b.ids):
             probs_by_id[eid] = p[row]
     probs = np.stack([probs_by_id[eid] for eid in ds.ids])
+    if args.oracle_parity:
+        import jax
+        from icl.cli._common import report_parity
+        from icl.eval.oracle import oracle_ffnn
+        n = min(len(ds.ids), 256)
+        pooled = np.asarray(mean_pool_tokens(
+            jnp.asarray(emb.table), jnp.asarray(ds.token_ids[:n]),
+            jnp.asarray(ds.lengths[:n])))
+        p_oracle = oracle_ffnn(jax.tree.map(np.asarray, state.params), pooled)
+        report_parity(float(np.abs(probs[:n] - p_oracle).max()))
     scores_path = default_scores_path(args, task)
     write_scores(scores_path, ds.ids, probs, class_order=classes,
                  meta={"task": task, "split": args.data_split,

@@ -123,6 +123,25 @@ def main(argv=None) -> None:
             probs_by_id[cid] = probs[s, r, c]
             sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
                          AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
+    if args.oracle_parity:
+        import jax
+        from icl.cli._common import report_parity
+        from icl.eval.oracle import oracle_affinity
+        max_diff, checked = 0.0, 0
+        params_np = jax.tree.map(np.asarray, state.params)
+        for b in batcher.batches(ds):
+            jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                             rt.mesh)
+            p_jax = np.asarray(predict(state.params, table, jb))
+            p_oracle = oracle_affinity(params_np, emb.table, b.arrays,
+                                       phrase_enc=phrase_enc)
+            valid = b.arrays["grid_valid"]
+            max_diff = max(max_diff,
+                           float(np.abs(p_jax[valid] - p_oracle[valid]).max()))
+            checked += 1
+            if checked >= 2:
+                break
+        report_parity(max_diff)
     # write in dataset order: per image, mention-major over valid cells
     from icl.data.pipeline import make_affinity_id
     from icl.io.captions import parse_mention_id

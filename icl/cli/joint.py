@@ -38,6 +38,8 @@ def main(argv=None) -> None:
         common += ["--mesh", args.mesh]
     if args.eval:
         common += ["--eval"]
+    if args.oracle_parity:
+        common += ["--oracle-parity"]
 
     def model_cfg(task: str) -> dict:
         import json

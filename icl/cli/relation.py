@@ -120,6 +120,24 @@ def main(argv=None) -> None:
             probs_by_id[pid] = probs[s, pi]
             sd.increment(RELATION_CLASSES[int(labels[s, pi])],
                          RELATION_CLASSES[int(probs[s, pi].argmax())])
+    if args.oracle_parity:
+        import jax
+        from icl.cli._common import report_parity
+        from icl.eval.oracle import oracle_relation
+        max_diff, checked = 0.0, 0
+        params_np = jax.tree.map(np.asarray, state.params)
+        for b in batcher.batches(ds):
+            jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                             rt.mesh)
+            p_jax = np.asarray(predict(state.params, table, jb))
+            p_oracle = oracle_relation(params_np, emb.table, b.arrays)
+            valid = b.arrays["pair_valid"]
+            max_diff = max(max_diff,
+                           float(np.abs(p_jax[valid] - p_oracle[valid]).max()))
+            checked += 1
+            if checked >= 2:
+                break
+        report_parity(max_diff)
     order = [pid for im in ds.images for pid in im.pair_ids]
     out = np.stack([probs_by_id[pid] for pid in order])
     scores_path = default_scores_path(args, "relation")

@@ -25,12 +25,21 @@ class BucketSpec:
 
     boundaries: tuple[int, ...] = (8, 16, 24, 40)
 
-    def bucket_of(self, length: int) -> int:
-        """Smallest boundary >= length (overflow clamps to the largest)."""
+    def bucket_of(self, length: int, strict: bool = False) -> int:
+        """Smallest boundary >= length.
+
+        Overflow beyond the largest boundary rounds up to the next multiple
+        of 8 (one extra compiled shape per distinct outlier size) instead of
+        clamping — clamping would silently drop data (mentions/pairs/boxes),
+        which downstream id bookkeeping treats as a hard error.  Pass
+        ``strict=True`` to clamp (only for callers that tolerate truncation).
+        """
         for b in self.boundaries:
             if length <= b:
                 return b
-        return self.boundaries[-1]
+        if strict:
+            return self.boundaries[-1]
+        return ((length + 7) // 8) * 8
 
 
 @dataclasses.dataclass

@@ -49,13 +49,39 @@ class EmbeddingStore:
         return cls(vocab, table)
 
     @classmethod
-    def load(cls, path: str) -> "EmbeddingStore":
-        """Load text or binary word2vec format, auto-detected."""
+    def load(cls, path: str, restrict_to=None) -> "EmbeddingStore":
+        """Load text or binary word2vec format, auto-detected.
+
+        restrict_to: optional word collection — only matching entries are
+        kept (plus their lowercase forms for the OOV fallback).  Value-
+        preserving for any corpus whose words are all in ``restrict_to``,
+        since the table is frozen and lookups are by word: the standard
+        trick for GoogleNews-scale (3M × 300) tables.
+        """
+        if restrict_to is not None:
+            restrict_to = set(restrict_to) | {w.lower() for w in restrict_to}
         with open(path, "rb") as f:
             head = f.read(64)
         if path.endswith(".bin") or _looks_binary(head):
-            return cls._load_binary(path)
-        return cls._load_text(path)
+            try:
+                from icl.native.w2v import load_binary
+
+                loaded = load_binary(path, restrict_to)
+                if loaded is not None:
+                    return cls.from_arrays(*loaded)
+            except ImportError:
+                pass
+            store = cls._load_binary(path)
+        else:
+            store = cls._load_text(path)
+        return store.restrict(restrict_to) if restrict_to is not None else store
+
+    def restrict(self, words) -> "EmbeddingStore":
+        """Subset the store to the given words (order-preserving)."""
+        keep = [w for w in sorted(self.vocab, key=self.vocab.get)
+                if w in words]
+        rows = np.array([self.vocab[w] for w in keep], dtype=np.int64)
+        return EmbeddingStore.from_arrays(keep, self.table[rows])
 
     @classmethod
     def _load_text(cls, path: str) -> "EmbeddingStore":

@@ -58,11 +58,14 @@ class RelationBatcher:
         self.mention_spec = mention_spec
         self.C = captions_per_image
 
-    def shape_of(self, im: RelationImage) -> tuple[int, int, int]:
+    def shape_of(self, im: RelationImage) -> tuple[int, int, int, int]:
         L = self.len_spec.bucket_of(im.tokens.shape[1])
         M = self.mention_spec.bucket_of(len(im.m_cap))
         P = M * (M - 1) // 2
-        return L, M, P
+        # caption count joins the key so >C-caption images (MSCOCO has 5–7)
+        # are padded up, never silently truncated/mis-gathered
+        C = max(self.C, im.tokens.shape[0])
+        return L, M, P, C
 
     def batches(self, ds: RelationDataset,
                 rng: np.random.Generator | None = None) -> Iterator[ImageBatch]:
@@ -82,8 +85,8 @@ class RelationBatcher:
             yield self._pad(key, group)
 
     def _pad(self, key: tuple, group: list[RelationImage]) -> ImageBatch:
-        L, M, P = key
-        I, C = self.ipb, self.C
+        L, M, P, C = key
+        I = self.ipb
         a = {
             "tokens": np.zeros((I, C, L), np.int32),
             "tok_len": np.zeros((I, C), np.int32),

@@ -44,6 +44,17 @@ def _load() -> ctypes.CDLL | None:
     lib.feats_free.restype = None
     lib.feats_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
+    lib.w2v_load.restype = ctypes.c_void_p
+    lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.w2v_vocab.restype = ctypes.c_int64
+    lib.w2v_vocab.argtypes = [ctypes.c_void_p]
+    lib.w2v_dim.restype = ctypes.c_int32
+    lib.w2v_dim.argtypes = [ctypes.c_void_p]
+    lib.w2v_words_size.restype = ctypes.c_int64
+    lib.w2v_words_size.argtypes = [ctypes.c_void_p]
+    lib.w2v_fill.restype = None
+    lib.w2v_free.restype = None
+    lib.w2v_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 

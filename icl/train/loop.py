@@ -41,6 +41,21 @@ class LoopConfig:
     seed: int = 0
 
 
+def prefetch(iterator, depth: int = 2):
+    """Keep `depth` batches in flight: device transfers (async under JAX)
+    start before the consuming step runs — hides host→device latency, which
+    dominates on slow links (e.g. the axon relay in this environment)."""
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(item)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def run_training(state: TrainState, step_fn: Callable,
                  make_batches: Callable[[np.random.Generator], Iterable[tuple]],
                  cfg: LoopConfig) -> TrainState:
@@ -67,7 +82,7 @@ def run_training(state: TrainState, step_fn: Callable,
         ex_since = 0
         for epoch in range(cfg.epochs):
             epoch_rng = np.random.default_rng(rng.integers(2**63))
-            for args in make_batches(epoch_rng):
+            for args in prefetch(make_batches(epoch_rng)):
                 state, metrics = step_fn(state, *args)
                 step = int(state.step)
                 ex_since += _batch_examples(args)

@@ -156,3 +156,91 @@ int scores_write(const char* path, const char* const* ids, const double* probs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// word2vec binary loader (GoogleNews .bin: "V D\n" header, then per word:
+// "<word> " + D little-endian float32).  Equivalent of gensim's Cython
+// reader (SURVEY §3.2 N2).  Optional vocabulary filter: when `filter_words`
+// is non-null (newline-joined list), only matching words are materialized —
+// the gensim-era trick for fitting GoogleNews-scale tables.
+// ---------------------------------------------------------------------------
+
+#include <unordered_set>
+
+namespace {
+
+struct W2VData {
+  int64_t vocab = 0;
+  int32_t dim = 0;
+  std::vector<float> table;     // vocab * dim
+  std::string words;            // '\0'-joined
+  std::vector<int64_t> word_offsets;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* w2v_load(const char* path, const char* filter_words) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  char header[64];
+  if (!fgets(header, sizeof(header), f)) { fclose(f); return nullptr; }
+  long total = 0; int dim = 0;
+  if (sscanf(header, "%ld %d", &total, &dim) != 2 || dim <= 0) {
+    fclose(f);
+    return nullptr;
+  }
+
+  std::unordered_set<std::string> filter;
+  bool use_filter = filter_words != nullptr && filter_words[0] != '\0';
+  if (use_filter) {
+    const char* p = filter_words;
+    while (*p) {
+      const char* nl = strchr(p, '\n');
+      size_t len = nl ? (size_t)(nl - p) : strlen(p);
+      if (len) filter.emplace(p, len);
+      p += len + (nl ? 1 : 0);
+    }
+  }
+
+  auto* d = new W2VData();
+  d->dim = dim;
+  std::vector<float> vec(dim);
+  std::string word;
+  for (long i = 0; i < total; ++i) {
+    word.clear();
+    int ch;
+    while ((ch = fgetc(f)) != EOF && ch != ' ') {
+      if (ch != '\n') word.push_back((char)ch);
+    }
+    if (ch == EOF) break;
+    if (fread(vec.data(), sizeof(float), dim, f) != (size_t)dim) break;
+    if (use_filter && !filter.count(word)) continue;
+    d->word_offsets.push_back((int64_t)d->words.size());
+    d->words.append(word);
+    d->words.push_back('\0');
+    d->table.insert(d->table.end(), vec.begin(), vec.end());
+    ++d->vocab;
+  }
+  fclose(f);
+  return d;
+}
+
+int64_t w2v_vocab(void* h) { return ((W2VData*)h)->vocab; }
+int32_t w2v_dim(void* h) { return ((W2VData*)h)->dim; }
+int64_t w2v_words_size(void* h) {
+  return (int64_t)((W2VData*)h)->words.size();
+}
+
+void w2v_fill(void* h, float* table, char* words, int64_t* word_offsets) {
+  auto* d = (W2VData*)h;
+  memcpy(table, d->table.data(), d->table.size() * sizeof(float));
+  memcpy(words, d->words.data(), d->words.size());
+  memcpy(word_offsets, d->word_offsets.data(),
+         d->word_offsets.size() * sizeof(int64_t));
+}
+
+void w2v_free(void* h) { delete (W2VData*)h; }
+
+}  // extern "C"

@@ -1,0 +1,42 @@
+"""Overflow beyond the largest bucket must not drop data (batcher contract)."""
+
+import numpy as np
+
+from icl.data.buckets import BucketSpec
+from icl.data.imagebatch import RelationBatcher
+from icl.data.pipeline import RelationDataset, RelationImage
+
+
+def _image_with_m(m: int, img_id: str) -> RelationImage:
+    L, C = 6, 2
+    tokens = np.ones((C, L), np.int32)
+    tok_len = np.full(C, L, np.int32)
+    m_cap = (np.arange(m) % C).astype(np.int32)
+    m_first = np.zeros(m, np.int32)
+    m_last = np.ones(m, np.int32)
+    iu, ju = np.triu_indices(m, k=1)
+    pair_ij = np.stack([iu, ju], 1).astype(np.int32)
+    return RelationImage(
+        img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
+        m_first=m_first, m_last=m_last, pair_ij=pair_ij,
+        pair_label=np.zeros(len(iu), np.int32),
+        pair_ids=[f"{img_id}#p{k}" for k in range(len(iu))])
+
+
+def test_bucket_of_overflow_rounds_up():
+    spec = BucketSpec((8, 16, 32))
+    assert spec.bucket_of(33) == 40
+    assert spec.bucket_of(50) == 56
+    assert spec.bucket_of(33, strict=True) == 32
+
+
+def test_relation_batcher_keeps_oversized_images():
+    # 40 mentions > largest mention bucket (32): no pair may be dropped
+    ds = RelationDataset(images=[_image_with_m(40, "big.jpg"),
+                                 _image_with_m(4, "small.jpg")])
+    batcher = RelationBatcher(images_per_batch=2)
+    seen = []
+    for b in batcher.batches(ds):
+        seen.extend(pid for _, _, pid in b.id_index)
+    want = [pid for im in ds.images for pid in im.pair_ids]
+    assert sorted(seen) == sorted(want)

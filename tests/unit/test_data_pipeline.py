@@ -33,7 +33,9 @@ def test_embedding_oov_and_pool(emb):
 def test_bucket_spec():
     spec = BucketSpec((8, 16, 32))
     assert spec.bucket_of(1) == 8 and spec.bucket_of(8) == 8
-    assert spec.bucket_of(9) == 16 and spec.bucket_of(99) == 32  # clamp
+    assert spec.bucket_of(9) == 16
+    assert spec.bucket_of(99) == 104                 # overflow rounds up
+    assert spec.bucket_of(99, strict=True) == 32     # strict clamps
 
 
 def test_bucketizer_no_drop_and_masking():
@@ -106,3 +108,18 @@ def test_affinity_dataset_and_batcher(synth_dir, emb):
         assert not a["grid_valid"][~a["img_valid"]].any()
         cells += len(batch.id_index)
     assert cells == ds.num_cells
+
+
+def test_embedding_restrict_and_binary_filter(tmp_path, emb):
+    import os
+    p = str(tmp_path / "emb2.bin")
+    emb.save_binary(p)
+    some = sorted(emb.vocab)[:5]
+    sub = EmbeddingStore.load(p, restrict_to=set(some) | {"not_a_word"})
+    assert sorted(sub.vocab) == sorted(some)
+    for w in some:
+        np.testing.assert_allclose(sub.table[sub.vocab[w]],
+                                   emb.table[emb.vocab[w]], rtol=1e-6)
+    # pure-python restrict path agrees
+    sub2 = emb.restrict(set(some))
+    assert sub2.vocab.keys() == sub.vocab.keys()
