@@ -32,16 +32,6 @@ VOCAB, DIM, C, L, M = 20_000, 300, 5, 32, 16
 LSTM_H, HEAD_H = 200, 800
 
 
-def build_workload(images: int, seed: int = 0):
-    import jax.numpy as jnp
-    import __graft_entry__ as ge
-
-    rng = np.random.default_rng(seed)
-    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
-    batch = ge._synth_relation_batch(rng, I=images, C=C, L=L, M=M, vocab=VOCAB)
-    return table, batch
-
-
 def _fixed_latency():
     """Per-call host↔device roundtrip overhead (the axon relay adds ~30 ms;
     block_until_ready alone does not guarantee completion through it, so all
