@@ -91,6 +91,11 @@ class RelationModel(nn.Module):
         tok_len = batch["tok_len"]        # [I, C]
         I, C, L = tokens.shape
         x = jnp.take(emb_table, tokens.reshape(I * C, L), axis=0)  # [I*C, L, D]
+        # NOTE: the BiLSTM deliberately stays on the XLA scan path even when
+        # fused=True — measured on v5e, the batched scan is ~56 TFLOPS f32
+        # (near compute-bound) while the tiled Pallas recurrence
+        # (icl.ops.lstm_kernel) is 1.7x slower: VMEM limits batch tiles to
+        # 32 rows (quarter-MXU GEMMs) and grid programs serialize.
         enc_flat, _ = BiLSTM(self.lstm_hidden, compute_dtype=self.compute_dtype,
                              unroll=self.lstm_unroll,
                              name="caption_bilstm")(x, tok_len.reshape(I * C))

@@ -134,13 +134,24 @@ class BiLSTM(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 1   # scan unroll knob (measured neutral-to-negative on v5e)
+    use_kernel: bool = False   # Pallas recurrence kernel (inference, TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        import jax as _jax
+
         B, L, D = x.shape
         H = self.hidden
         kf, rf, bf = _LSTMParams(D, H, name="fwd")()
         kb, rb, bb = _LSTMParams(D, H, name="bwd")()
+
+        if self.use_kernel and _jax.devices()[0].platform == "tpu":
+            from icl.ops.lstm_kernel import bilstm_apply_pallas
+
+            params = {"fwd": {"kernel": kf, "recurrent_kernel": rf, "bias": bf},
+                      "bwd": {"kernel": kb, "recurrent_kernel": rb, "bias": bb}}
+            return bilstm_apply_pallas(x, lengths, params, hidden=H)
+
         cd = self.compute_dtype
 
         xs = x.astype(cd)
