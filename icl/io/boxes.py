@@ -61,13 +61,8 @@ def read_box_feats(path: str) -> tuple[list[str], np.ndarray]:
 def write_box_feats(path: str, ids: list[str], feats: np.ndarray) -> None:
     feats = np.asarray(feats, dtype=np.float32)
     if path.endswith(".npz"):
-        np.savez_compressed(path[:-4] if path.endswith(".npz") else path,
-                            ids=np.array(ids), feats=feats)
-        # np.savez appends .npz itself; normalise so `path` exists as given.
-        import os
-        base = path[:-4]
-        if os.path.exists(base + ".npz") and base + ".npz" != path:
-            os.replace(base + ".npz", path)
+        with open(path, "wb") as f:
+            np.savez_compressed(f, ids=np.array(ids), feats=feats)
         return
     with open(path, "w", encoding="utf-8") as f:
         for bid, row in zip(ids, feats):

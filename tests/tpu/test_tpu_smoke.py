@@ -51,6 +51,23 @@ def test_affinity_rank_kernel_on_tpu():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_bilstm_kernel_on_tpu():
+    _require_tpu()
+    from icl.models.rnn import BiLSTM
+    from icl.ops.lstm_kernel import bilstm_apply_pallas
+    import jax as _jax
+    rng = np.random.default_rng(3)
+    B, L, D, H = 64, 12, 20, 16
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, L + 1, size=B).astype(np.int32))
+    m = BiLSTM(hidden=H)
+    params = m.init(_jax.random.PRNGKey(0), x, lengths)["params"]
+    seq_ref, fin_ref = m.apply({"params": params}, x, lengths)
+    seq_k, fin_k = bilstm_apply_pallas(x, lengths, params, hidden=H)
+    np.testing.assert_allclose(np.asarray(fin_k), np.asarray(fin_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_one_train_step_per_model_on_tpu(tmp_path):
     _require_tpu()
     from icl.testing.synth import SynthConfig, generate_dataset
