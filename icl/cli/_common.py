@@ -12,8 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from icl.data.embeddings import EmbeddingStore
 from icl.util.log import LOG
 

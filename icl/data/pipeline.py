@@ -35,8 +35,8 @@ import numpy as np
 
 from icl.data.embeddings import EmbeddingStore
 from icl.io.boxes import group_boxes_by_image, read_box_feats
-from icl.io.captions import (Mention, parse_mention_id, parse_pair_id,
-                             read_captions, read_mentions)
+from icl.io.captions import (Mention, parse_pair_id, read_captions,
+                             read_mentions)
 from icl.io.feats import read_feats
 
 _AFF_ID_RE = re.compile(

@@ -27,7 +27,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -40,7 +39,6 @@ from icl.data.pairs import RELATION_CLASSES
 from icl.models import (AFFINITY_CLASSES, CARDINALITY_CLASSES, NONVIS_CLASSES,
                         AffinityModel, CardinalityModel, NonvisualModel,
                         RelationModel)
-from icl.models.nonvisual import mean_pool_tokens
 from icl.train import create_train_state
 from icl.train.checkpoint import Checkpointer
 from icl.train.steps import (make_affinity_predict, make_mention_predict,

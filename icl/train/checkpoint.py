@@ -12,7 +12,6 @@ artifact the Java ILP consumes (SURVEY §5.4).
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np

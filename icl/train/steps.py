@@ -14,7 +14,6 @@ the step function is topology-agnostic by construction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
