@@ -47,6 +47,8 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "devices data-parallel)")
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--resume", default="none", choices=["none", "auto"])
+    p.add_argument("--ckpt_every", type=int, default=200,
+                   help="checkpoint every N steps (0: only at end)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics_file", default=None)
     p.add_argument("--no_prune_embeddings", dest="prune_embeddings",

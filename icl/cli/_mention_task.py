@@ -75,6 +75,7 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
 
         dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
+                         ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed)
         state = run_training(state, lambda s, *a: step(s, table, *a),

@@ -32,14 +32,27 @@ class Checkpointer:
                                                  create=True),
         )
 
-    def save(self, state: TrainState, wait: bool = False) -> None:
+    def save(self, state: TrainState, wait: bool = False,
+             epoch: int = 0, batch_in_epoch: int = 0,
+             force: bool = False) -> None:
         payload = {
             "params": jax.tree.map(np.asarray, state.params),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
             "step": int(state.step),
             "rng": np.asarray(state.rng),
+            # loop position for exact kill-anywhere resume (epoch rngs are
+            # stateless in (seed, epoch), so replay is deterministic)
+            "epoch": int(epoch),
+            "batch_in_epoch": int(batch_in_epoch),
         }
-        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        step = int(state.step)
+        if force and step in (self._mgr.all_steps() or []):
+            # orbax refuses to overwrite an existing step — replace it (used
+            # by the end-of-training marker when a periodic save landed on
+            # the same step)
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(payload), force=force)
         if wait:
             self._mgr.wait_until_finished()
 
@@ -49,23 +62,31 @@ class Checkpointer:
 
     def restore(self, state: TrainState) -> TrainState:
         """Restore latest into the (freshly-initialized) state skeleton."""
+        state, _, _ = self.restore_with_position(state)
+        return state
+
+    def restore_with_position(self, state: TrainState):
+        """Like restore, also returning (epoch, batch_in_epoch)."""
         step = self._mgr.latest_step()
         if step is None:
-            return state
+            return state, 0, 0
         template = {
             "params": jax.tree.map(np.asarray, state.params),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
             "step": 0,
             "rng": np.asarray(state.rng),
+            "epoch": 0,
+            "batch_in_epoch": 0,
         }
         restored = self._mgr.restore(step,
                                      args=ocp.args.StandardRestore(template))
-        return state.replace(
+        state = state.replace(
             params=jax.tree.map(jax.numpy.asarray, restored["params"]),
             opt_state=jax.tree.map(jax.numpy.asarray, restored["opt_state"]),
             step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
             rng=jax.numpy.asarray(restored["rng"]),
         )
+        return state, int(restored["epoch"]), int(restored["batch_in_epoch"])
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -60,11 +60,14 @@ def run_training(state: TrainState, step_fn: Callable,
                  make_batches: Callable[[np.random.Generator], Iterable[tuple]],
                  cfg: LoopConfig) -> TrainState:
     ckpt = Checkpointer(cfg.ckpt_dir) if cfg.ckpt_dir else None
+    start_epoch = start_batch = 0
     if ckpt and cfg.resume == "auto":
         before = int(state.step)
-        state = ckpt.restore(state)
+        state, start_epoch, start_batch = ckpt.restore_with_position(state)
         if int(state.step) != before:
-            LOG.info("resumed from checkpoint at step %d", int(state.step))
+            LOG.info("resumed from checkpoint at step %d "
+                     "(epoch %d, batch %d)", int(state.step),
+                     start_epoch, start_batch)
 
     metrics_f = None
     if cfg.metrics_path:
@@ -75,14 +78,22 @@ def run_training(state: TrainState, step_fn: Callable,
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
     try:
-        rng = np.random.default_rng(cfg.seed)
-        # resume determinism: replay epoch rngs consumed before the restore
-        # point is the caller's concern; epoch order is seeded per epoch here
+        # epoch rngs are STATELESS in (seed, epoch): a resumed run replays
+        # the exact shuffle schedule of an uninterrupted one, so restoring
+        # (epoch, batch_in_epoch) and skipping already-trained batches makes
+        # kill-anywhere resume bit-reproducible (tests/integration/
+        # test_resume.py kills mid-epoch with shuffling on)
         t_last = time.perf_counter()
         ex_since = 0
-        for epoch in range(cfg.epochs):
-            epoch_rng = np.random.default_rng(rng.integers(2**63))
+        for epoch in range(start_epoch, cfg.epochs):
+            epoch_rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, epoch]))
+            skip = start_batch if epoch == start_epoch else 0
+            batch_in_epoch = 0
             for args in prefetch(make_batches(epoch_rng)):
+                batch_in_epoch += 1
+                if batch_in_epoch <= skip:
+                    continue
                 state, metrics = step_fn(state, *args)
                 step = int(state.step)
                 ex_since += _batch_examples(args)
@@ -100,9 +111,13 @@ def run_training(state: TrainState, step_fn: Callable,
                              "acc": acc, "examples_per_sec": rate}) + "\n")
                         metrics_f.flush()
                 if ckpt and cfg.ckpt_every and step % cfg.ckpt_every == 0:
-                    ckpt.save(state)
+                    ckpt.save(state, epoch=epoch,
+                              batch_in_epoch=batch_in_epoch)
         if ckpt:
-            ckpt.save(state, wait=True)
+            # end-of-training marker: resume would start past the last epoch
+            # (force: a periodic save may already exist at this exact step)
+            ckpt.save(state, wait=True, epoch=cfg.epochs, batch_in_epoch=0,
+                      force=True)
             ckpt.close()
     finally:
         if cfg.profile_dir:

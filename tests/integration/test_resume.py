@@ -34,6 +34,74 @@ def _make_batches_fn(args):
     return make_batches
 
 
+def test_kill_mid_epoch_with_shuffling(tmp_path, synth_dir, emb):
+    """Kill inside a shuffled epoch; resume must replay the exact schedule
+    (stateless epoch rngs + (epoch, batch) position in the checkpoint)."""
+    from icl.train.checkpoint import Checkpointer
+
+    model, pooled, table, args = _setup(synth_dir, emb)
+    tok, ln, lb, vd = args
+    n = int(tok.shape[0]) // 2 * 2
+    half = n // 2
+
+    def make_batches(epoch_rng):
+        # 2 shuffled half-batches per epoch — order depends on epoch_rng
+        order = epoch_rng.permutation(n)
+        for s in range(0, n, half):
+            idx = order[s:s + half]
+            yield (tok[idx], ln[idx], lb[idx], vd[idx])
+
+    step = make_mention_train_step(donate=False)
+    wrapped = lambda s, *a: step(s, table, *a)
+
+    # uninterrupted: 3 epochs x 2 batches, checkpoint EVERY step
+    stA = create_train_state(model, (pooled,), seed=9)
+    stA = run_training(stA, wrapped, make_batches,
+                       LoopConfig(epochs=3, ckpt_dir=None, seed=9))
+
+    # interrupted: run with ckpt_every=1, then hard-truncate to the state
+    # after step 3 (mid-epoch-2) by restoring that checkpoint and resuming
+    ckA = str(tmp_path / "ck_mid")
+    stB = create_train_state(model, (pooled,), seed=9)
+    # train only 3 steps by limiting epochs? simulate a kill: run full but
+    # resume from the step-3 checkpoint in a fresh state
+    run_training(stB, wrapped, make_batches,
+                 LoopConfig(epochs=3, ckpt_dir=ckA, ckpt_every=1, seed=9))
+    ck = Checkpointer(ckA)
+    # pick the mid-epoch checkpoint at step 3 (epoch 1, batch 1 done)
+    stC = create_train_state(model, (pooled,), seed=9)
+    template = stC
+    payload_steps = ck._mgr.all_steps()
+    # max_to_keep=3 prunes early steps; step 5 is mid-epoch-2 (batch 1 of 2)
+    assert 5 in payload_steps
+    restored = ck._mgr.restore(
+        5, args=__import__("orbax.checkpoint", fromlist=["args"]).args
+        .StandardRestore({
+            "params": jax.tree.map(np.asarray, template.params),
+            "opt_state": jax.tree.map(np.asarray, template.opt_state),
+            "step": 0, "rng": np.asarray(template.rng),
+            "epoch": 0, "batch_in_epoch": 0}))
+    assert restored["epoch"] == 2 and restored["batch_in_epoch"] == 1
+    # fresh dir seeded with only that checkpoint via save(), then resume
+    ckB = str(tmp_path / "ck_resume")
+    ck2 = Checkpointer(ckB)
+    stC = stC.replace(
+        params=jax.tree.map(jnp.asarray, restored["params"]),
+        opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32),
+        rng=jnp.asarray(restored["rng"]))
+    ck2.save(stC, wait=True, epoch=restored["epoch"],
+             batch_in_epoch=restored["batch_in_epoch"])
+    ck2.close()
+    stD = create_train_state(model, (pooled,), seed=9)
+    stD = run_training(stD, wrapped, make_batches,
+                       LoopConfig(epochs=3, ckpt_dir=ckB, ckpt_every=0,
+                                  resume="auto", seed=9))
+    assert int(stD.step) == int(stA.step) == 6
+    for a, b in zip(jax.tree.leaves(stA.params), jax.tree.leaves(stD.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_kill_and_resume(tmp_path, synth_dir, emb):
     model, pooled, table, args = _setup(synth_dir, emb)
     step = make_mention_train_step(donate=False)
@@ -44,7 +112,8 @@ def test_kill_and_resume(tmp_path, synth_dir, emb):
     stA = run_training(stA, wrapped, _make_batches_fn(args),
                        LoopConfig(epochs=8, ckpt_dir=None, seed=3))
 
-    # interrupted: 4 epochs, checkpoint, fresh process state, resume 4 more
+    # interrupted: 4 epochs, checkpoint, fresh process state, resume to the
+    # 8-epoch TOTAL (epochs is a total, not an increment)
     ck = str(tmp_path / "ckpt")
     stB = create_train_state(model, (pooled,), seed=3)
     stB = run_training(stB, wrapped, _make_batches_fn(args),
@@ -52,7 +121,7 @@ def test_kill_and_resume(tmp_path, synth_dir, emb):
     del stB  # simulate crash: all in-memory state gone
     stB2 = create_train_state(model, (pooled,), seed=3)
     stB2 = run_training(stB2, wrapped, _make_batches_fn(args),
-                        LoopConfig(epochs=4, ckpt_dir=ck, ckpt_every=1,
+                        LoopConfig(epochs=8, ckpt_dir=ck, ckpt_every=1,
                                    resume="auto", seed=3))
 
     assert int(stB2.step) == int(stA.step) == 8
