@@ -1,0 +1,40 @@
+"""2-axis mesh and affinity DP coverage (SURVEY §3.3: model axis plumbed)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from icl.data.imagebatch import AffinityBatcher
+from icl.data.pipeline import load_affinity_dataset
+from icl.dist.mesh import build_mesh, replicate, shard_batch
+from icl.models import AffinityModel
+from icl.train import create_train_state, make_affinity_train_step
+
+
+def test_training_on_4x2_mesh_matches_single_device(synth_dir, emb):
+    """data=4 x model=2 mesh: params replicate over 'model'; results match
+    single-device training (the model axis is plumbed but unused)."""
+    ds = load_affinity_dataset(synth_dir, "train", emb)
+    batch = next(iter(AffinityBatcher(images_per_batch=4).batches(ds)))
+    jb = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+    table_h = jnp.asarray(emb.table)
+    model = AffinityModel(lstm_hidden=8, head_hidden=16)
+
+    def train(mesh):
+        st = create_train_state(model, (table_h, jb), seed=11)
+        step = make_affinity_train_step(donate=False)
+        if mesh is not None:
+            st = replicate(st, mesh)
+            table = replicate(table_h, mesh)
+            b = shard_batch(jb, mesh)
+        else:
+            table, b = table_h, jb
+        for _ in range(3):
+            st, _ = step(st, table, b)
+        return jax.tree.map(np.asarray, st.params)
+
+    p1 = train(None)
+    p42 = train(build_mesh("4x2"))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
+        np.testing.assert_allclose(a, b, atol=2e-5)
