@@ -245,10 +245,17 @@ def main():
                     help="force remeasure of the reference CPU rate")
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "default"],
+                    help="matmul precision; 'highest' is the parity-grade "
+                         "scoring mode (TPU default-precision f32 deviates "
+                         "up to 4.5e-3 from the oracle — BENCHMARKS.md)")
     ap.add_argument("--no-fused", action="store_true")
     args = ap.parse_args()
 
     import jax
+    if args.precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
     platform = jax.devices()[0].platform
     fused = (platform == "tpu") and not args.no_fused
 
@@ -271,7 +278,8 @@ def main():
     result = {
         "metric": "caption_mention_pairs_per_sec",
         "value": round(rate, 1),
-        "unit": f"pairs/s/chip ({platform}, {args.dtype}"
+        "unit": f"pairs/s/chip ({platform}, {args.dtype}, "
+                f"{args.precision}-precision"
                 f"{', fused' if fused else ''})",
         "vs_baseline": round(rate / ref_rate, 1),
     }

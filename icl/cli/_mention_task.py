@@ -30,6 +30,8 @@ from icl.util.log import LOG
 
 
 def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
+    from icl.cli._common import apply_precision
+    apply_precision(args)
     rt = runtime.init(args.mesh, seed=args.seed)
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)

@@ -44,6 +44,8 @@ def main(argv=None) -> None:
                    choices=["lstm", "mean_w2v"])
     args = p.parse_args(argv)
 
+    from icl.cli._common import apply_precision
+    apply_precision(args)
     rt = runtime.init(args.mesh, seed=args.seed)
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)

@@ -46,6 +46,8 @@ def main(argv=None) -> None:
                    help="Pallas grid-head kernel at predict (auto: TPU only)")
     args = p.parse_args(argv)
 
+    from icl.cli._common import apply_precision
+    apply_precision(args)
     rt = runtime.init(args.mesh, seed=args.seed)
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)

@@ -284,6 +284,11 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(data_dir: str, port: int, embeddings_file: str | None = None,
           tasks: list[str] | None = None) -> ThreadingHTTPServer:
     """Build the server (caller decides serve_forever vs background)."""
+    import jax
+
+    # scoring service is parity-grade: true-f32 matmuls (see
+    # icl.cli._common.apply_precision for the TPU rationale)
+    jax.config.update("jax_default_matmul_precision", "highest")
     scorer = Scorer(data_dir, embeddings_file, tasks)
     handler = type("Handler", (_Handler,), {"scorer": scorer})
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)

@@ -78,8 +78,16 @@ class Checkpointer:
             "epoch": 0,
             "batch_in_epoch": 0,
         }
-        restored = self._mgr.restore(step,
-                                     args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except ValueError:
+            # pre-position-format checkpoint (no epoch/batch_in_epoch keys)
+            template.pop("epoch")
+            template.pop("batch_in_epoch")
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+            restored = {**restored, "epoch": 0, "batch_in_epoch": 0}
         state = state.replace(
             params=jax.tree.map(jax.numpy.asarray, restored["params"]),
             opt_state=jax.tree.map(jax.numpy.asarray, restored["opt_state"]),
