@@ -245,8 +245,8 @@ def main():
                     help="force remeasure of the reference CPU rate")
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--precision", default="highest",
-                    choices=["highest", "default"],
+    ap.add_argument("--precision", default="high",
+                    choices=["high", "highest", "default"],
                     help="matmul precision; 'highest' is the parity-grade "
                          "scoring mode (TPU default-precision f32 deviates "
                          "up to 4.5e-3 from the oracle — BENCHMARKS.md)")
@@ -254,8 +254,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.precision == "highest":
-        jax.config.update("jax_default_matmul_precision", "highest")
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     platform = jax.devices()[0].platform
     fused = (platform == "tpu") and not args.no_fused
 

@@ -51,7 +51,8 @@ def _rank_kernel(x_ref, y_ref, b1_ref, w2_ref, b2_ref, valid_ref, out_ref):
     B = y.shape[0]
     h = jnp.maximum(x[:, None, :] + y[None, :, :] + b1_ref[:], 0.0)
     s = jnp.dot(h.reshape(Ta * B, K), w2_ref[:],
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     s = (s + b2_ref[:]).reshape(Ta, B)
     valid = valid_ref[0, 0]                                # [B] bool as int32
     neg = jnp.finfo(jnp.float32).min

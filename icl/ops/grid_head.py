@@ -52,7 +52,8 @@ def _kernel(x_ref, y_ref, b1_ref, w2_ref, b2_ref, out_ref):
     Tb = y.shape[0]
     h = jnp.maximum(x[:, None, :] + y[None, :, :] + b1_ref[:], 0.0)
     out = jnp.dot(h.reshape(Ta * Tb, K), w2_ref[:],
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = (out + b2_ref[:]).reshape(Ta, Tb, -1)
 
 

@@ -56,7 +56,8 @@ def _lstm_kernel(xp_ref, mask_ref, r_ref, out_ref, *, hidden: int, length: int):
     def step(t, carry):
         h_prev, c_prev = carry
         z = xp_ref[0, t] + jnp.dot(h_prev, R,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         i = jax.nn.sigmoid(z[:, :H])
         f = jax.nn.sigmoid(z[:, H:2 * H])
         g = jnp.tanh(z[:, 2 * H:3 * H])

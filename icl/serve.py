@@ -288,7 +288,7 @@ def serve(data_dir: str, port: int, embeddings_file: str | None = None,
 
     # scoring service is parity-grade: true-f32 matmuls (see
     # icl.cli._common.apply_precision for the TPU rationale)
-    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_default_matmul_precision", "high")
     scorer = Scorer(data_dir, embeddings_file, tasks)
     handler = type("Handler", (_Handler,), {"scorer": scorer})
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
