@@ -35,7 +35,9 @@ def main(argv=None) -> None:
         "affinity",
         "Phrase-box affinity scorer: LSTM phrase embeddings x VGG fc7 box "
         "features, batched GEMM + per-image softmax.")
-    p.add_argument("--images_per_batch", type=int, default=8)
+    p.add_argument("--images_per_batch", type=int, default=64,
+                   help="images per device batch (throughput peaks ~128 on "
+                        "v5e; small datasets round down fine via padding)")
     p.add_argument("--head_hidden", type=int, default=1024)
     p.add_argument("--fused", default="auto",
                    choices=["auto", "on", "off"],
