@@ -157,6 +157,10 @@ class Scorer:
             pij = np.zeros((1, P, 2), np.int32)
             pv = np.zeros((1, P), bool)
             for k, (i, j) in enumerate(pairs):
+                if not (0 <= i < len(ments) and 0 <= j < len(ments)):
+                    raise ValueError(
+                        f"pair [{i}, {j}] out of range for "
+                        f"{len(ments)} mentions")
                 pij[0, k] = (i, j)
                 pv[0, k] = True
             batch.update(m_cap=jnp.asarray(mc), m_first=jnp.asarray(mf),

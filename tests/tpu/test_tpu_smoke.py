@@ -12,6 +12,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _highest_precision():
+    # kernel dots are pinned to HIGHEST (Mosaic rejects HIGH); the XLA
+    # reference side must run at the same precision for equality checks
+    return jax.default_matmul_precision("highest")
+
+
 def _require_tpu():
     if jax.devices()[0].platform not in ("tpu",):
         pytest.skip(f"not a TPU platform: {jax.devices()[0].platform}")
@@ -27,8 +33,9 @@ def test_grid_head_kernel_on_tpu():
     b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
     W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32))
     b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
-    out = np.asarray(grid_head_pallas(X, Y, b1, W2, b2))
-    ref = np.asarray(grid_head_reference(X, Y, b1, W2, b2))
+    with _highest_precision():
+        out = np.asarray(grid_head_pallas(X, Y, b1, W2, b2))
+        ref = np.asarray(grid_head_reference(X, Y, b1, W2, b2))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
@@ -46,8 +53,9 @@ def test_affinity_rank_kernel_on_tpu():
     valid = rng.random((G, B)) < 0.8
     valid[:, 0] = True
     valid = jnp.asarray(valid)
-    out = np.asarray(affinity_rank_pallas(X, Y, b1, W2, b2, valid))
-    ref = np.asarray(affinity_rank_reference(X, Y, b1, W2, b2, valid))
+    with _highest_precision():
+        out = np.asarray(affinity_rank_pallas(X, Y, b1, W2, b2, valid))
+        ref = np.asarray(affinity_rank_reference(X, Y, b1, W2, b2, valid))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -62,8 +70,9 @@ def test_bilstm_kernel_on_tpu():
     lengths = jnp.asarray(rng.integers(1, L + 1, size=B).astype(np.int32))
     m = BiLSTM(hidden=H)
     params = m.init(_jax.random.PRNGKey(0), x, lengths)["params"]
-    seq_ref, fin_ref = m.apply({"params": params}, x, lengths)
-    seq_k, fin_k = bilstm_apply_pallas(x, lengths, params, hidden=H)
+    with _highest_precision():
+        seq_ref, fin_ref = m.apply({"params": params}, x, lengths)
+        seq_k, fin_k = bilstm_apply_pallas(x, lengths, params, hidden=H)
     np.testing.assert_allclose(np.asarray(fin_k), np.asarray(fin_ref),
                                rtol=1e-4, atol=1e-5)
 
