@@ -247,9 +247,10 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--precision", default="high",
                     choices=["high", "highest", "default"],
-                    help="matmul precision; 'highest' is the parity-grade "
-                         "scoring mode (TPU default-precision f32 deviates "
-                         "up to 4.5e-3 from the oracle — BENCHMARKS.md)")
+                    help="matmul precision; 'high' (bf16_3x, the default) "
+                         "is the parity-grade scoring mode — TPU "
+                         "default-precision f32 deviates up to 4.5e-3 from "
+                         "the oracle (BENCHMARKS.md)")
     ap.add_argument("--no-fused", action="store_true")
     args = ap.parse_args()
 
@@ -284,7 +285,9 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
     }
     if args.full:
-        rate_bf16 = bench_relation_tpu(args.images, args.iters, fused, "bf16")
+        rate_bf16 = (rate if args.dtype == "bf16" else
+                     bench_relation_tpu(args.images, args.iters, fused,
+                                        "bf16"))
         aff = bench_affinity_tpu(min(args.images, 32),
                                  max(args.iters, 30), fused, args.dtype)
         train_rate = bench_relation_train(args.images,

@@ -76,9 +76,9 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
 def apply_precision(args) -> None:
     """Resolve and apply the matmul-precision policy (call before device use).
 
-    SURVEY §7.3's 1e-5 oracle gate requires true-f32 matmuls; on TPU the
-    'default' precision multiplies in bf16 (measured ~5e-3 score deviation),
-    so predict runs at 'highest' unless overridden.
+    On TPU the 'default' precision multiplies f32 in bf16 (measured ~5e-3
+    score deviation vs the oracle), so predict runs at 'high' (bf16_3x —
+    parity-grade, measured 2.2e-5) unless overridden; see BENCHMARKS.md.
     """
     import jax
 

@@ -71,10 +71,8 @@ class EmbeddingStore:
                     return cls.from_arrays(*loaded)
             except ImportError:
                 pass
-            store = cls._load_binary(path)
-        else:
-            store = cls._load_text(path)
-        return store.restrict(restrict_to) if restrict_to is not None else store
+            return cls._load_binary(path, restrict_to)
+        return cls._load_text(path, restrict_to)
 
     def restrict(self, words) -> "EmbeddingStore":
         """Subset the store to the given words (order-preserving)."""
@@ -84,45 +82,54 @@ class EmbeddingStore:
         return EmbeddingStore.from_arrays(keep, self.table[rows])
 
     @classmethod
-    def _load_text(cls, path: str) -> "EmbeddingStore":
+    def _load_text(cls, path: str, restrict_to=None) -> "EmbeddingStore":
+        # filter DURING parse: the full GoogleNews-scale table must never be
+        # materialized on the fallback path (the native loader filters too)
         words: list[str] = []
         rows: list[np.ndarray] = []
+
+        def take(parts):
+            if len(parts) < 2:
+                return
+            if restrict_to is None or parts[0] in restrict_to:
+                words.append(parts[0])
+                rows.append(np.array(parts[1:], dtype=np.float32))
+
         with open(path, "r", encoding="utf-8", errors="replace") as f:
             first = f.readline().rstrip("\n")
             parts = first.split(" ")
             # optional "V D" header
             if len(parts) != 2 or not all(p.isdigit() for p in parts):
-                words.append(parts[0])
-                rows.append(np.array(parts[1:], dtype=np.float32))
+                take(parts)
             for line in f:
-                parts = line.rstrip("\n").split(" ")
-                if len(parts) < 2:
-                    continue
-                words.append(parts[0])
-                rows.append(np.array(parts[1:], dtype=np.float32))
-        return cls.from_arrays(words, np.stack(rows))
+                take(line.rstrip("\n").split(" "))
+        dim = rows[0].shape[0] if rows else 1
+        return cls.from_arrays(words, np.stack(rows) if rows
+                               else np.zeros((0, dim), np.float32))
 
     @classmethod
-    def _load_binary(cls, path: str) -> "EmbeddingStore":
+    def _load_binary(cls, path: str, restrict_to=None) -> "EmbeddingStore":
         """GoogleNews .bin: ascii header 'V D\\n', then word + D float32 LE."""
         with open(path, "rb") as f:
             header = f.readline().decode("utf-8").strip()
             v_str, d_str = header.split(" ")
             v, d = int(v_str), int(d_str)
             words = []
-            table = np.zeros((v + 1, d), dtype=np.float32)
+            rows = []
             buf = f.read()
         pos = 0
         vec_bytes = d * 4
-        for i in range(v):
+        for _ in range(v):
             end = buf.index(b" ", pos)
             word = buf[pos:end].decode("utf-8", errors="replace").lstrip("\n")
             pos = end + 1
-            table[i + 1] = np.frombuffer(buf, dtype="<f4", count=d, offset=pos)
+            if restrict_to is None or word in restrict_to:
+                words.append(word)
+                rows.append(np.frombuffer(buf, dtype="<f4", count=d,
+                                          offset=pos))
             pos += vec_bytes
-            words.append(word)
-        vocab = {w: i + 1 for i, w in enumerate(words)}
-        return cls(vocab, table)
+        return cls.from_arrays(words, np.stack(rows) if rows
+                               else np.zeros((0, d), np.float32))
 
     def save_binary(self, path: str) -> None:
         with open(path, "wb") as f:

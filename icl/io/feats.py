@@ -120,7 +120,10 @@ def to_dense_matrix(
     ids = []
     for r, ex in enumerate(examples):
         if ex.indices.size:
-            X[r, ex.indices - 1] = ex.values
+            # features beyond max_idx (unseen at train time when densifying
+            # a prediction split) are ignored, matching LibLinear semantics
+            keep = ex.indices <= max_idx
+            X[r, ex.indices[keep] - 1] = ex.values[keep]
         y[r] = ex.label
         ids.append(ex.example_id)
     return X, y, ids

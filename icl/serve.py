@@ -149,6 +149,12 @@ class Scorer:
             mv = np.zeros((1, M), bool)
             for r, m in enumerate(ments):
                 cap = int(m["caption"])
+                if not 0 <= cap < len(captions):
+                    raise ValueError(f"mention caption {cap} out of range "
+                                     f"for {len(captions)} captions")
+                if int(m["first"]) < 0 or int(m["last"]) < int(m["first"]):
+                    raise ValueError(f"bad mention span "
+                                     f"[{m['first']}, {m['last']}]")
                 cap_len = max(int(tl[0, cap]), 1)
                 mc[0, r] = cap
                 mf[0, r] = min(int(m["first"]), cap_len - 1)
