@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,10 @@ def main(argv=None) -> None:
     p.add_argument("--fused", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas grid-head kernel at predict (auto: TPU only)")
+    p.add_argument("--rank_file", default=None,
+                   help="with --predict: also write per-image box-ranking "
+                        "distributions (softmax over candidate boxes per "
+                        "mention, SURVEY §6.5 inference extra) to this path")
     p.add_argument("--phrase_enc", default="lstm",
                    choices=["lstm", "mean_w2v"])
     args = p.parse_args(argv)
@@ -117,15 +122,28 @@ def main(argv=None) -> None:
     predict = make_affinity_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
     sd = ScoreDict(labels=list(AFFINITY_CLASSES))
+    from icl.models.affinity import rank_boxes
+    rank_by_id: dict[str, float] = {}
+    rank_fn = jax.jit(rank_boxes)
+
+    @jax.jit
+    def logits_fn(p, t, bb):
+        return model.apply({"params": p}, t, bb, deterministic=True)
+
     for b in batcher.batches(ds):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
                          rt.mesh)
-        probs = np.asarray(predict(state.params, table, jb))  # [I,M,B,2]
+        logits_dev = logits_fn(state.params, table, jb)
+        probs = np.asarray(jax.nn.softmax(logits_dev, axis=-1))  # [I,M,B,2]
         I, M, B, _ = probs.shape
+        if args.rank_file:
+            ranks = np.asarray(rank_fn(logits_dev, jb["box_valid"]))
         labels = b.arrays["grid_label"]
         for (s, cell, cid) in b.id_index:
             r, c = divmod(cell, B)
             probs_by_id[cid] = probs[s, r, c]
+            if args.rank_file:
+                rank_by_id[cid] = float(ranks[s, r, c])
             sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
                          AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
     if args.oracle_parity:
@@ -163,6 +181,14 @@ def main(argv=None) -> None:
                  meta={"task": "affinity", "split": args.data_split,
                        "checkpoint_step": int(state.step)})
     LOG.info("wrote %d scores to %s", len(order), scores_path)
+    if args.rank_file:
+        ranks_out = np.array([[rank_by_id[cid]] for cid in order])
+        write_scores(args.rank_file, order, ranks_out,
+                     class_order=["rank_prob"],
+                     meta={"task": "affinity_rank", "split": args.data_split,
+                           "note": "per-image softmax over candidate boxes "
+                                   "per mention (SURVEY §6.5)"})
+        LOG.info("wrote %d rank probs to %s", len(order), args.rank_file)
     if args.eval:
         print(sd.table())
 

@@ -88,3 +88,19 @@ def test_cardinality_cli_e2e(cli_dir):
     main(["--predict", *_common(cli_dir), "--hidden_width", "16"])
     ids, probs = read_scores(os.path.join(cli_dir, "dev.cardinality.scores"))
     assert probs.shape[1] == 12
+
+
+def test_affinity_rank_file(cli_dir):
+    """--rank_file writes per-image box-ranking distributions (SURVEY §6.5)."""
+    from collections import defaultdict
+
+    from icl.cli.affinity import main
+    rank_path = os.path.join(cli_dir, "dev.affinity.rank.scores")
+    main(["--predict", *_common(cli_dir), "--rank_file", rank_path])
+    ids, probs = read_scores(rank_path)
+    assert probs.shape[1] == 1
+    sums = defaultdict(float)
+    for i, p in zip(ids, probs[:, 0]):
+        sums[i.rsplit(";box:", 1)[0]] += p
+    for mention, total in sums.items():
+        assert abs(total - 1.0) < 1e-4, (mention, total)
