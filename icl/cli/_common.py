@@ -66,10 +66,16 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                    help="with --predict: print a ScoreDict table vs gold")
     p.add_argument("--oracle-parity", dest="oracle_parity",
                    action="store_true",
-                   help="with --predict: re-run a sample of batches through "
-                        "the Keras-3 CPU oracle with identical weights and "
-                        "report max |p - p_oracle| vs the 1e-5 gate "
-                        "(SURVEY §7.3)")
+                   help="with --predict: re-run a SAMPLE (first 2 batches) "
+                        "through the Keras-3 CPU oracle with identical "
+                        "weights and report max |p - p_oracle| vs the 1e-5 "
+                        "gate (SURVEY §7.3); see --oracle-parity-full for "
+                        "a whole-split audit")
+    p.add_argument("--oracle-parity-full", dest="oracle_parity_full",
+                   action="store_true",
+                   help="with --predict: run the oracle-parity audit over "
+                        "EVERY batch of the split (slow: the oracle is a "
+                        "per-batch CPU Keras model)")
     return p
 
 

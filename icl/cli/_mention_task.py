@@ -106,11 +106,11 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         for row, eid in enumerate(b.ids):
             probs_by_id[eid] = p[row]
     probs = np.stack([probs_by_id[eid] for eid in ds.ids])
-    if args.oracle_parity:
+    if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_ffnn
-        n = min(len(ds.ids), 256)
+        n = len(ds.ids) if args.oracle_parity_full else min(len(ds.ids), 256)
         pooled = np.asarray(mean_pool_tokens(
             jnp.asarray(emb.table), jnp.asarray(ds.token_ids[:n]),
             jnp.asarray(ds.lengths[:n])))

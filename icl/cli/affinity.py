@@ -146,7 +146,7 @@ def main(argv=None) -> None:
                 rank_by_id[cid] = float(ranks[s, r, c])
             sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
                          AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
-    if args.oracle_parity:
+    if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_affinity
@@ -162,7 +162,7 @@ def main(argv=None) -> None:
             max_diff = max(max_diff,
                            float(np.abs(p_jax[valid] - p_oracle[valid]).max()))
             checked += 1
-            if checked >= 2:
+            if not args.oracle_parity_full and checked >= 2:
                 break
         report_parity(max_diff)
     # write in dataset order: per image, mention-major over valid cells

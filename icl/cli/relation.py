@@ -125,7 +125,7 @@ def main(argv=None) -> None:
             probs_by_id[pid] = probs[s, pi]
             sd.increment(RELATION_CLASSES[int(labels[s, pi])],
                          RELATION_CLASSES[int(probs[s, pi].argmax())])
-    if args.oracle_parity:
+    if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_relation
@@ -140,7 +140,7 @@ def main(argv=None) -> None:
             max_diff = max(max_diff,
                            float(np.abs(p_jax[valid] - p_oracle[valid]).max()))
             checked += 1
-            if checked >= 2:
+            if not args.oracle_parity_full and checked >= 2:
                 break
         report_parity(max_diff)
     order = [pid for im in ds.images for pid in im.pair_ids]

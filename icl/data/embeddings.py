@@ -76,6 +76,7 @@ class EmbeddingStore:
 
     def restrict(self, words) -> "EmbeddingStore":
         """Subset the store to the given words (order-preserving)."""
+        words = words if isinstance(words, (set, frozenset, dict)) else set(words)
         keep = [w for w in sorted(self.vocab, key=self.vocab.get)
                 if w in words]
         rows = np.array([self.vocab[w] for w in keep], dtype=np.int64)

@@ -4,7 +4,8 @@ Reference parity: the reference built O(M²) mention pairs per image in nested
 Python loops (SURVEY §3.1 C7, BASELINE.json north_star).  Here enumeration is
 a single numpy pass producing index tables; the actual pair *tensor* is never
 materialized on host — the model gathers mention representations on-device
-(XLA gather / Pallas kernel K1 in icl.ops.pair_build).
+(XLA gather, or the fused grid-head Pallas kernel K1 in icl.ops.grid_head —
+see ARCHITECTURE.md §3.2 for the K1 reinterpretation).
 
 Convention: each unordered pair (i < j in global mention order: caption index
 then mention index) appears once; direction is carried by the 4-way label

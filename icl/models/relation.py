@@ -11,9 +11,10 @@ TPU-native design (SURVEY §4.1): the reference re-encoded captions for every
 one of the O(M²) pairs in Python loops.  Here each caption in the image batch
 is encoded **once**; mention and pair tensors are formed by flat gathers
 (single-index ``jnp.take`` into ``[I·C·L, 2H]``) with no ``[I,M,L,·]``
-intermediate — this gather+concat stage is Pallas kernel K1's target
-(icl.ops.pair_build), and the XLA fallback here is the correctness oracle
-for it.
+intermediate.  Kernel K1 was *reinterpreted* (ARCHITECTURE.md §3.2): the
+distributed-head algebra below makes an explicit pair tensor unnecessary,
+so K1 became the fused M×M grid head in ``icl.ops.grid_head``; the gather
+path here is its permanent XLA correctness oracle.
 """
 
 from __future__ import annotations

@@ -39,6 +39,24 @@ def test_nonvisual_parity(synth_dir, emb):
     assert np.abs(p_jax - p_oracle).max() < GATE
 
 
+def test_cardinality_parity(synth_dir, emb):
+    """C9 oracle gate (VERDICT r1 missing#6): same FFNN oracle as nonvisual
+    but with the 12-way head, so the one task without a gate gets one."""
+    from icl.eval.oracle import oracle_ffnn
+    from icl.models.cardinality import CardinalityModel
+    ds = load_mention_dataset(synth_dir, "train", "cardinality", emb)
+    table = jnp.asarray(emb.table)
+    pooled = mean_pool_tokens(table, jnp.asarray(ds.token_ids),
+                              jnp.asarray(ds.lengths))
+    model = CardinalityModel(hidden=24)
+    params = model.init(jax.random.PRNGKey(4), pooled)["params"]
+    p_jax = np.asarray(jax.nn.softmax(
+        model.apply({"params": params}, pooled, deterministic=True), axis=-1))
+    p_oracle = oracle_ffnn(_np_params(params), np.asarray(pooled))
+    assert p_jax.shape[-1] == 12
+    assert np.abs(p_jax - p_oracle).max() < GATE
+
+
 def test_relation_parity(synth_dir, emb):
     from icl.eval.oracle import oracle_relation
     ds = load_relation_dataset(synth_dir, "train", emb)
