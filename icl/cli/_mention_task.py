@@ -32,7 +32,10 @@ from icl.util.log import LOG
 def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     from icl.cli._common import apply_precision
     apply_precision(args)
-    rt = runtime.init(args.mesh, seed=args.seed)
+    rt = runtime.init(args.mesh, seed=args.seed,
+                      coordinator=getattr(args, "coordinator", None),
+                      num_processes=getattr(args, "num_processes", None),
+                      process_id=getattr(args, "process_id", None))
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)
     ds = load_mention_dataset(args.data_dir, args.data_split, task, emb)

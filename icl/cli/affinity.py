@@ -49,11 +49,13 @@ def main(argv=None) -> None:
                         "mention, SURVEY §6.5 inference extra) to this path")
     p.add_argument("--phrase_enc", default="lstm",
                    choices=["lstm", "mean_w2v"])
-    args = p.parse_args(argv)
-
-    from icl.cli._common import apply_precision
+    from icl.cli._common import apply_precision, bucket_spec, parse_task_args
+    args = parse_task_args(p, argv, "affinity")
     apply_precision(args)
-    rt = runtime.init(args.mesh, seed=args.seed)
+    rt = runtime.init(args.mesh, seed=args.seed,
+                      coordinator=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)
     ds = load_affinity_dataset(args.data_dir, args.data_split, emb)
@@ -65,7 +67,10 @@ def main(argv=None) -> None:
     if ipb % ndev:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
-    batcher = AffinityBatcher(images_per_batch=ipb)
+    batcher = AffinityBatcher(
+        images_per_batch=ipb,
+        mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)),
+        box_spec=bucket_spec(args, "boxes_per_image", (8, 16, 32)))
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     phrase_enc = args.phrase_enc
     if args.predict:

@@ -6,17 +6,18 @@ Reference parity: mirrors the reference's ``icl_nonvisual.py`` entry point
 
 from __future__ import annotations
 
-from icl.cli._common import base_parser
+from icl.cli._common import base_parser, parse_task_args
 from icl.cli._mention_task import run
 from icl.models.nonvisual import NONVIS_CLASSES, NonvisualModel
 
 
 def main(argv=None) -> None:
-    args = base_parser(
+    p = base_parser(
         "nonvisual",
         "Binary visual/nonvisual mention classifier over mean-pooled "
-        "word2vec mention embeddings (FFNN).").parse_args(argv)
-    run(args, "nonvisual", NonvisualModel, NONVIS_CLASSES)
+        "word2vec mention embeddings (FFNN).")
+    run(parse_task_args(p, argv, "nonvisual"),
+        "nonvisual", NonvisualModel, NONVIS_CLASSES)
 
 
 if __name__ == "__main__":

@@ -46,11 +46,13 @@ def main(argv=None) -> None:
     p.add_argument("--fused", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas grid-head kernel at predict (auto: TPU only)")
-    args = p.parse_args(argv)
-
-    from icl.cli._common import apply_precision
+    from icl.cli._common import apply_precision, bucket_spec, parse_task_args
+    args = parse_task_args(p, argv, "relation")
     apply_precision(args)
-    rt = runtime.init(args.mesh, seed=args.seed)
+    rt = runtime.init(args.mesh, seed=args.seed,
+                      coordinator=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)
     ds = load_relation_dataset(args.data_dir, args.data_split, emb)
@@ -62,7 +64,10 @@ def main(argv=None) -> None:
     if ipb % ndev:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
-    batcher = RelationBatcher(images_per_batch=ipb)
+    batcher = RelationBatcher(
+        images_per_batch=ipb,
+        len_spec=bucket_spec(args, "caption_len", (16, 32, 48)),
+        mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)))
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     if args.predict:
         cfg_path = os.path.join(default_model_dir(args, "relation"),

@@ -31,14 +31,38 @@ def init(topology: str | None = None, seed: int = 0,
          process_id: int | None = None) -> Runtime:
     """Bring up the runtime: distributed bootstrap (if multi-host) + mesh.
 
-    Args mirror ``jax.distributed.initialize``; all-None means single
-    process (the only mode testable in this environment — SURVEY §9.3(5)).
+    Args mirror ``jax.distributed.initialize``.  The multi-host branch is
+    gated on ``process_id`` — each host's launcher passes its own id, so a
+    pod config that carries ``hosts: {coordinator, num_processes}`` can
+    still be run single-process (scaled down) by simply not passing
+    ``--process_id``.  Exercised for real by the 2-process localhost test
+    (tests/dist/test_multiprocess.py); the pod itself is unavailable here
+    (SURVEY §9.3(5)).
     """
-    if coordinator is not None:
+    if process_id is not None:
+        if coordinator is None or num_processes is None:
+            raise ValueError("--process_id requires --coordinator and "
+                             "--num_processes (directly or via --config)")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    mesh = build_mesh(topology)
+        LOG.info("distributed: process %d/%d via %s; %d global device(s)",
+                 jax.process_index(), jax.process_count(), coordinator,
+                 jax.device_count())
+    elif coordinator is not None:
+        LOG.warning("coordinator %s configured but no --process_id given: "
+                    "running single-process (scaled-down mode)", coordinator)
+    try:
+        mesh = build_mesh(topology)
+    except ValueError:
+        if not (process_id is None and coordinator is not None):
+            raise
+        # scaled-down mode: a pod config's mesh (e.g. 256x1) exceeds this
+        # host's devices — fall back to all-local-devices data-parallel
+        LOG.warning("configured mesh %r needs more devices than the %d "
+                    "available; scaled-down mode falls back to local DP",
+                    topology, jax.device_count())
+        mesh = build_mesh(None)
     LOG.info("runtime: %d device(s) [%s], mesh %s",
              mesh.devices.size, jax.devices()[0].platform,
              dict(mesh.shape))

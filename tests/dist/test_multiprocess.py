@@ -1,0 +1,80 @@
+"""Real multi-process jax.distributed.initialize over localhost (SURVEY §3.4).
+
+Faked-device tests (test_dp.py) exercise sharding and collectives but not
+the process-group bootstrap; this spawns TWO actual processes that rendez-
+vous through ``icl.runtime.init`` → ``jax.distributed.initialize``, train
+DP over an 8-device global mesh (4 local devices each, gloo cross-process
+collectives), and must agree with the single-process 8-device run bit-wise
+in structure and numerically in value (VERDICT r1 missing#1/#2).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    """Same math as the worker, on this process's 8 faked devices."""
+    sys.path.insert(0, os.path.dirname(WORKER))
+    try:
+        from _mp_worker import synth_batch
+    finally:
+        sys.path.pop(0)
+    from icl.dist.mesh import build_mesh, replicate, shard_batch
+    from icl.models import NonvisualModel
+    from icl.models.nonvisual import mean_pool_tokens
+    from icl.train import create_train_state, make_mention_train_step
+
+    table_h, tok, ln, lb = synth_batch()
+    vd = np.ones(64, bool)
+    mesh = build_mesh("8x1")
+    model = NonvisualModel(hidden=8)
+    pooled = mean_pool_tokens(jnp.asarray(table_h), jnp.asarray(tok[:1]),
+                              jnp.asarray(ln[:1]))
+    st = create_train_state(model, (pooled,), seed=5)
+    st = replicate(st, mesh)
+    table = replicate(jnp.asarray(table_h), mesh)
+    args = shard_batch((tok, ln, lb, vd), mesh)
+    step = make_mention_train_step(donate=False)
+    for _ in range(5):
+        st, _ = step(st, table, *args)
+    return {"/".join(str(k.key) for k in path): np.asarray(v)
+            for path, v in
+            jax.tree_util.tree_flatten_with_path(st.params)[0]}
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # device count set in-worker via config API
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    ref = _single_process_reference()
+    runs = [dict(np.load(tmp_path / f"params_{pid}.npz")) for pid in range(2)]
+    # both processes hold identical replicated params...
+    for k in ref:
+        np.testing.assert_array_equal(runs[0][k], runs[1][k])
+        # ...and match the single-process 8-device run (gloo cross-process
+        # reductions may reassociate the psum → tight tolerance, not bitwise)
+        np.testing.assert_allclose(runs[0][k], ref[k], atol=1e-6, rtol=1e-6)
+    assert np.isfinite(runs[0]["loss"])
