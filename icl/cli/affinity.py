@@ -88,7 +88,9 @@ def main(argv=None) -> None:
     model = AffinityModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
                           phrase_enc=phrase_enc,
-                          fused=use_fused and bool(args.predict))
+                          fused=use_fused and (bool(args.predict)
+                                 or jax.devices()[0].platform == "tpu"
+                                 or args.dropout == 0.0))
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),
@@ -115,7 +117,8 @@ def main(argv=None) -> None:
                        "lstm_hidden": args.lstm_hidden_width,
                        "head_hidden": args.head_hidden,
                        "dropout": args.dropout,
-                       "phrase_enc": args.phrase_enc}, f)
+                       "phrase_enc": args.phrase_enc,
+                       "box_dim": ds.box_dim}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)
         return

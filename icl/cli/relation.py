@@ -82,7 +82,9 @@ def main(argv=None) -> None:
                   and jax.devices()[0].platform == "tpu"))
     model = RelationModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
-                          fused=use_fused and bool(args.predict))
+                          fused=use_fused and (bool(args.predict)
+                                 or jax.devices()[0].platform == "tpu"
+                                 or args.dropout == 0.0))
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),

@@ -77,10 +77,20 @@ class AffinityModel(nn.Module):
         p_proj = phrase @ Wp                                      # [I,M,K]
         b_proj = boxes @ Wb                                       # [I,B,K]
 
-        if self.fused and deterministic:
+        if self.fused:
             # K2: grid add+relu+head GEMM in VMEM — the [I,M,B,K] activation
-            # never reaches HBM
-            return fused_grid_head(p_proj, b_proj, bp, W2, b2)    # [I,M,B,O]
+            # never reaches HBM; in training the custom-VJP kernel applies
+            # dropout via the in-kernel Mosaic PRNG (per-image seeds → DP
+            # reproduces single-device masks) and recomputes on backward
+            if deterministic:
+                return fused_grid_head(p_proj, b_proj, bp, W2, b2)
+            from icl.ops.grid_head_train import grid_head_train
+            import jax
+            seeds = jax.random.randint(
+                self.make_rng("dropout"), (I,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            return grid_head_train(p_proj, b_proj, bp, W2, b2,
+                                   seeds, float(self.dropout))       # [I,M,B,O]
 
         h = nn.relu(p_proj[:, :, None, :] + b_proj[:, None, :, :] + bp)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -68,10 +68,15 @@ class RelationModel(nn.Module):
     {kernel,bias}) and the Keras oracle runs the concat form — the parity
     test proves the algebraic restructuring.
 
-    ``fused=True`` (predict-only) computes the full M×M logit grid with the
-    Pallas grid-head kernel (icl.ops.grid_head, K1) and gathers pair cells;
-    training keeps the gather form because dropout needs the [I,P,hidden]
-    activations.
+    ``fused=True`` computes the full M×M logit grid with the Pallas
+    grid-head kernels (K1) and gathers pair cells: icl.ops.grid_head at
+    predict, icl.ops.grid_head_train (custom VJP, in-kernel Mosaic-PRNG
+    dropout, on-chip recompute backward) in training — the [·,·,hidden]
+    activation and its dropout mask never reach HBM in either direction.
+    Training seeds are per-image (derived from the step's dropout rng), so
+    data-parallel sharding reproduces single-device masks.  The gather form
+    below remains the permanent XLA oracle and the off-TPU training path
+    (the Mosaic PRNG has no interpret-mode lowering).
     """
 
     lstm_hidden: int = 200
@@ -111,8 +116,17 @@ class RelationModel(nn.Module):
         proj_j = mreps @ W1[R:]
         pair_ij = batch["pair_ij"]
 
-        if self.fused and deterministic:
-            grid = fused_grid_head(proj_i, proj_j, b1, W2, b2)    # [I,M,M,O]
+        if self.fused:
+            if deterministic:
+                grid = fused_grid_head(proj_i, proj_j, b1, W2, b2)
+            else:
+                from icl.ops.grid_head_train import grid_head_train
+                import jax
+                seeds = jax.random.randint(
+                    self.make_rng("dropout"), (I,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                grid = grid_head_train(proj_i, proj_j, b1, W2, b2,
+                                       seeds, float(self.dropout))
             ii = jnp.arange(I, dtype=jnp.int32)[:, None]
             return grid[ii, pair_ij[:, :, 0], pair_ij[:, :, 1]]   # [I,P,O]
 

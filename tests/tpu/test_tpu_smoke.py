@@ -77,6 +77,123 @@ def test_bilstm_kernel_on_tpu():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_grid_head_train_kernel_on_tpu():
+    """grid_head_train custom VJP on real Mosaic: rate=0 oracle equality,
+    dropout determinism, and fwd/bwd mask consistency via linearity probes
+    (the dropout path has no XLA twin — interpret mode cannot lower
+    prng_seed, so this coverage only exists here)."""
+    _require_tpu()
+    from icl.ops.grid_head import grid_head_reference
+    from icl.ops.grid_head_train import grid_head_train
+
+    rng = np.random.default_rng(3)
+    G, A, B, K, O = 4, 16, 16, 256, 4
+    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32) * 0.3)
+    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, size=(G,)), jnp.int32)
+    R = jnp.asarray(rng.normal(size=(G, A, B, O)).astype(np.float32))
+
+    with _highest_precision():
+        # rate=0: forward + every gradient matches the XLA oracle
+        out = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0)
+        ref = grid_head_reference(X, Y, b1, W2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        gk = jax.grad(lambda *p: jnp.sum(grid_head_train(*p, seeds, 0.0) * R),
+                      argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+        go = jax.grad(lambda *p: jnp.sum(grid_head_reference(*p) * R),
+                      argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+        for name, a, b in zip(["dX", "dY", "db1", "dW2", "db2"], gk, go):
+            scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4 * scale, rtol=1e-3,
+                                       err_msg=name)
+
+        # dropout: deterministic in seeds, sensitive to them
+        rate = 0.5
+        o1 = grid_head_train(X, Y, b1, W2, b2, seeds, rate)
+        o2 = grid_head_train(X, Y, b1, W2, b2, seeds, rate)
+        assert bool((np.asarray(o1) == np.asarray(o2)).all())
+        o3 = grid_head_train(X, Y, b1, W2, b2, seeds + 1, rate)
+        assert bool((np.asarray(o1) != np.asarray(o3)).any())
+
+        # out is EXACTLY linear in W2 given a fixed mask ⇒ grad == finite
+        # difference iff the backward regenerated the forward's mask
+        E = jnp.asarray(rng.normal(size=W2.shape).astype(np.float32) * 0.01)
+        L = lambda w: jnp.sum(grid_head_train(X, Y, b1, w, b2, seeds, rate) * R)
+        lin = float(L(W2 + E) - L(W2))
+        dot = float(jnp.sum(jax.grad(L)(W2) * E))
+        assert abs(lin - dot) / max(abs(lin), 1e-9) < 1e-3, (lin, dot)
+
+        # directional derivative in X (piecewise-linear; small symmetric fd)
+        EX = jnp.asarray(rng.normal(size=X.shape).astype(np.float32))
+        LX = lambda x: jnp.sum(grid_head_train(x, Y, b1, W2, b2, seeds, rate) * R)
+        eps = 1e-3
+        fd = float((LX(X + eps * EX) - LX(X - eps * EX)) / (2 * eps))
+        dot = float(jnp.sum(jax.grad(LX)(X) * EX))
+        assert abs(fd - dot) / max(abs(fd), 1e-9) < 5e-3, (fd, dot)
+
+
+def test_fused_train_step_on_tpu(tmp_path):
+    """One fused (grid-kernel) train step per grid model on real data:
+    finite loss, and at dropout=0 the fused step's gradients match the
+    gather-path step's gradients."""
+    _require_tpu()
+    from icl.testing.synth import SynthConfig, generate_dataset
+    from icl.data.embeddings import EmbeddingStore
+    from icl.data.imagebatch import AffinityBatcher, RelationBatcher
+    from icl.data.pipeline import load_affinity_dataset, load_relation_dataset
+    from icl.models import AffinityModel, RelationModel
+    from icl.train import (create_train_state, make_affinity_train_step,
+                           make_relation_train_step)
+
+    d = str(tmp_path)
+    generate_dataset(d, "train", SynthConfig(num_images=4, seed=2))
+    emb = EmbeddingStore.load(d + "/embeddings.txt")
+    table = jnp.asarray(emb.table)
+
+    with _highest_precision():
+        rds = load_relation_dataset(d, "train", emb)
+        rb = next(iter(RelationBatcher(images_per_batch=4).batches(rds)))
+        jb = {k: jnp.asarray(v) for k, v in rb.arrays.items()}
+        # dropout=0: fused ≡ gather gradients (same math, kernel vs XLA)
+        params = None
+        grads_by_path = {}
+        for fused in (False, True):
+            model = RelationModel(lstm_hidden=16, head_hidden=32,
+                                  dropout=0.0, fused=fused)
+            st = create_train_state(model, (table, jb), seed=0)
+            if params is None:
+                params = st.params
+            st = st.replace(params=params)
+            st2, m = make_relation_train_step(donate=False)(st, table, jb)
+            assert np.isfinite(float(m["loss"])), f"fused={fused}"
+            grads_by_path[fused] = jax.tree.map(np.asarray, st2.params)
+        flat_a = jax.tree_util.tree_leaves(grads_by_path[False])
+        flat_b = jax.tree_util.tree_leaves(grads_by_path[True])
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
+
+        # dropout>0 fused: runs, finite, and changes params
+        model = RelationModel(lstm_hidden=16, head_hidden=32,
+                              dropout=0.5, fused=True)
+        st = create_train_state(model, (table, jb), seed=0)
+        st2, m = make_relation_train_step(donate=False)(st, table, jb)
+        assert np.isfinite(float(m["loss"]))
+
+        ads = load_affinity_dataset(d, "train", emb)
+        ab = next(iter(AffinityBatcher(images_per_batch=4).batches(ads)))
+        jab = {k: jnp.asarray(v) for k, v in ab.arrays.items()}
+        amodel = AffinityModel(lstm_hidden=16, head_hidden=64,
+                               dropout=0.5, fused=True)
+        ast = create_train_state(amodel, (table, jab), seed=0)
+        ast, m = make_affinity_train_step()(ast, table, jab)
+        assert np.isfinite(float(m["loss"]))
+
+
 def test_one_train_step_per_model_on_tpu(tmp_path):
     _require_tpu()
     from icl.testing.synth import SynthConfig, generate_dataset

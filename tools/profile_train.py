@@ -78,9 +78,9 @@ def apply_ablated(model, params, table, batch, *, deterministic, drng,
             mreps = gather_mention_reps(enc, b["m_cap"], b["m_first"],
                                         b["m_last"])
             if skip_head:
-                return jnp.broadcast_to(
-                    jnp.sum(mreps, axis=-1, keepdims=True),
-                    (*b["pair_label"].shape, 4))
+                s = jnp.sum(mreps, axis=(1, 2))              # [I]
+                return jnp.broadcast_to(s[:, None, None],
+                                        (*b["pair_label"].shape, 4))
             R = mreps.shape[-1]
             W1, b1 = DenseParams(2 * R, model.head_hidden,
                                  name="head_dense")()
