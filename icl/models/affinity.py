@@ -89,8 +89,9 @@ class AffinityModel(nn.Module):
             seeds = jax.random.randint(
                 self.make_rng("dropout"), (I,), 0,
                 jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            return grid_head_train(p_proj, b_proj, bp, W2, b2,
-                                   seeds, float(self.dropout))       # [I,M,B,O]
+            exact = jax.config.jax_default_matmul_precision == "highest"
+            return grid_head_train(p_proj, b_proj, bp, W2, b2, seeds,
+                                   float(self.dropout), exact)   # [I,M,B,O]
 
         h = nn.relu(p_proj[:, :, None, :] + b_proj[:, None, :, :] + bp)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -125,8 +125,11 @@ class RelationModel(nn.Module):
                 seeds = jax.random.randint(
                     self.make_rng("dropout"), (I,), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                # backward dots follow the session precision policy: exact
+                # under 'highest' (parity/tests), one-pass bf16 otherwise
+                exact = jax.config.jax_default_matmul_precision == "highest"
                 grid = grid_head_train(proj_i, proj_j, b1, W2, b2,
-                                       seeds, float(self.dropout))
+                                       seeds, float(self.dropout), exact)
             ii = jnp.arange(I, dtype=jnp.int32)[:, None]
             return grid[ii, pair_ij[:, :, 0], pair_ij[:, :, 1]]   # [I,P,O]
 

@@ -22,9 +22,111 @@ bfloat16 compute path for throughput (`compute_dtype`).
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lstm_recurrence(x_proj, R2, mask2, unroll: int = 1):
+    """Masked LSTM recurrence over pre-projected inputs, custom backward.
+
+    Args: x_proj [L,G,B,4H] (input projection + bias, gate order i,f,c̃,o),
+    R2 [G,H,4H] recurrent kernels, mask2 [L,G,B] step validity; G stacks
+    independent directions/groups.  Returns (hs [L,G,B,H], h_final [G,B,H]).
+
+    Why custom: XLA's scan transpose accumulates dR and recomputes the gate
+    nonlinearities INSIDE the sequential backward loop — L serialized
+    small GEMMs each for dgates@Rᵀ and h_prevᵀ@dgates.  This VJP saves the
+    gate activations + cell sequence from the forward (the cuDNN-style
+    residual set), keeps only the irreducible dgates@Rᵀ chain in the
+    reverse scan, and hoists dR into ONE [G·H, L·B]×[L·B, 4H]-shaped GEMM
+    afterwards; dW/dx/db fall out of the x_proj GEMM's own (non-custom)
+    backward as single large GEMMs.  Forward math is IDENTICAL to the
+    plain scan (same primitives, same order) — parity gates unaffected.
+    """
+    (hs, h_final), _ = _lstm_recurrence_fwd_impl(x_proj, R2, mask2, unroll)
+    return hs, h_final
+
+
+def _lstm_recurrence_fwd_impl(x_proj, R2, mask2, unroll):
+    H = R2.shape[1]
+    cd = x_proj.dtype
+    G, B = x_proj.shape[1], x_proj.shape[2]
+
+    def step(carry, inp):
+        h_prev, c_prev = carry
+        zx_t, m_t = inp                                # [G,B,4H], [G,B]
+        z = zx_t + jnp.einsum("gbh,ghk->gbk", h_prev, R2)
+        i = jax.nn.sigmoid(z[..., :H])
+        f = jax.nn.sigmoid(z[..., H:2 * H])
+        g = jnp.tanh(z[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(z[..., 3 * H:])
+        c_t = f * c_prev + i * g
+        h_t = o * jnp.tanh(c_t)
+        m = m_t[..., None].astype(cd)
+        h = m * h_t + (1 - m) * h_prev                 # Keras mask: carry
+        c = m * c_t + (1 - m) * c_prev
+        gates = jnp.concatenate([i, f, g, o], axis=-1)
+        return (h, c), (h, gates, c)
+
+    init = (jnp.zeros((G, B, H), cd), jnp.zeros((G, B, H), cd))
+    (h_final, _), (hs, gates_seq, c_seq) = jax.lax.scan(
+        step, init, (x_proj, mask2), unroll=unroll)
+    return (hs, h_final), (gates_seq, c_seq, hs, R2, mask2)
+
+
+def _lstm_recurrence_bwd_impl(unroll, res, cots):
+    gates_seq, c_seq, hs, R2, mask2 = res
+    dhs, dhf = cots
+    H = R2.shape[1]
+    cd = gates_seq.dtype
+    dhs = dhs.astype(cd)
+    # post-mask c/h sequences shifted by one step are the true prev states
+    # (mask pass-through makes the stored value the carried value)
+    c_prev_seq = jnp.concatenate([jnp.zeros_like(c_seq[:1]), c_seq[:-1]], 0)
+    h_prev_seq = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], 0)
+
+    def bstep(carry, inp):
+        dh, dc = carry
+        dh_out, gates, c, c_prev, m_t = inp
+        dh = dh + dh_out
+        m = m_t[..., None].astype(cd)
+        i = gates[..., :H]
+        f = gates[..., H:2 * H]
+        g = gates[..., 2 * H:3 * H]
+        o = gates[..., 3 * H:]
+        tc = jnp.tanh(c)            # == tanh(c̃) wherever m == 1
+        dh_t = dh * m
+        dc_t = dc * m + dh_t * o * (1 - tc * tc)
+        do = dh_t * tc * o * (1 - o)
+        df = dc_t * c_prev * f * (1 - f)
+        di = dc_t * g * i * (1 - i)
+        dg = dc_t * i * (1 - g * g)
+        dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+        dh_prev = (jnp.einsum("gbk,ghk->gbh", dgates, R2)
+                   + dh * (1 - m))
+        dc_prev = dc_t * f + dc * (1 - m)
+        return (dh_prev, dc_prev), dgates
+
+    init = (dhf.astype(cd), jnp.zeros_like(dhf, dtype=cd))
+    _, dgates_seq = jax.lax.scan(
+        bstep, init, (dhs, gates_seq, c_seq, c_prev_seq, mask2),
+        reverse=True, unroll=unroll)
+    # ONE big GEMM instead of L in-loop accumulations
+    dR2 = jnp.einsum("lgbh,lgbk->ghk", h_prev_seq, dgates_seq)
+    dmask = np.zeros(mask2.shape, jax.dtypes.float0)
+    return dgates_seq, dR2, dmask
+
+
+lstm_recurrence.defvjp(
+    lambda x_proj, R2, mask2, unroll:
+        _lstm_recurrence_fwd_impl(x_proj, R2, mask2, unroll),
+    _lstm_recurrence_bwd_impl)
 
 
 def _keras_lstm_bias_init(key, shape, dtype=jnp.float32):
@@ -76,24 +178,11 @@ class LSTM(nn.Module):
                   + bias.astype(cd)).reshape(B, L, 4 * H)
         xs_t = jnp.swapaxes(x_proj, 0, 1)          # [L, B, 4H]
 
-        def step(carry, inp):
-            h_prev, c_prev = carry
-            zx_t, m_t = inp                         # [B, 4H], [B]
-            z = zx_t + h_prev @ rec
-            i = jax.nn.sigmoid(z[:, :H])
-            f = jax.nn.sigmoid(z[:, H:2 * H])
-            g = jnp.tanh(z[:, 2 * H:3 * H])
-            o = jax.nn.sigmoid(z[:, 3 * H:])
-            c = f * c_prev + i * g
-            h = o * jnp.tanh(c)
-            m = m_t[:, None].astype(cd)
-            h = m * h + (1 - m) * h_prev            # Keras mask: carry through
-            c = m * c + (1 - m) * c_prev
-            return (h, c), h
-
-        init = (jnp.zeros((B, H), cd), jnp.zeros((B, H), cd))
-        (h_final, _), hs = jax.lax.scan(step, init, (xs_t, step_mask),
-                                        unroll=self.unroll)
+        # single-direction group (G=1) through the shared custom-VJP
+        # recurrence (see lstm_recurrence: big-GEMM backward)
+        hs, h_final = lstm_recurrence(xs_t[:, None], rec[None],
+                                      step_mask[:, None], self.unroll)
+        hs, h_final = hs[:, 0], h_final[0]
         outputs = jnp.swapaxes(hs, 0, 1)            # [B, L, H]
         if self.reverse:
             outputs = outputs[:, ::-1]
@@ -171,24 +260,9 @@ class BiLSTM(nn.Module):
                   + b2[:, None, None, :])                      # [2,B,L,4H]
         xs_t = jnp.transpose(x_proj, (2, 0, 1, 3))             # [L,2,B,4H]
 
-        def step(carry, inp):
-            h_prev, c_prev = carry                             # [2,B,H]
-            zx_t, m_t = inp                                    # [2,B,4H],[2,B]
-            z = zx_t + jnp.einsum("gbh,ghk->gbk", h_prev, R2)
-            i = jax.nn.sigmoid(z[..., :H])
-            f = jax.nn.sigmoid(z[..., H:2 * H])
-            g = jnp.tanh(z[..., 2 * H:3 * H])
-            o = jax.nn.sigmoid(z[..., 3 * H:])
-            c = f * c_prev + i * g
-            h = o * jnp.tanh(c)
-            m = m_t[..., None].astype(cd)
-            h = m * h + (1 - m) * h_prev
-            c = m * c + (1 - m) * c_prev
-            return (h, c), h
-
-        init = (jnp.zeros((2, B, H), cd), jnp.zeros((2, B, H), cd))
-        (h_final, _), hs = jax.lax.scan(step, init, (xs_t, mask2),
-                                        unroll=self.unroll)
+        # both directions in one G=2 custom-VJP recurrence: one sequential
+        # chain forward AND backward, dR/dW/dx as single big GEMMs
+        hs, h_final = lstm_recurrence(xs_t, R2, mask2, self.unroll)
         fwd_seq = jnp.transpose(hs[:, 0], (1, 0, 2))           # [B,L,H]
         bwd_seq = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1]
         seq = jnp.concatenate([fwd_seq, bwd_seq], axis=-1).astype(jnp.float32)

@@ -98,11 +98,11 @@ def test_grid_head_train_kernel_on_tpu():
 
     with _highest_precision():
         # rate=0: forward + every gradient matches the XLA oracle
-        out = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0)
+        out = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0, True)
         ref = grid_head_reference(X, Y, b1, W2, b2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
-        gk = jax.grad(lambda *p: jnp.sum(grid_head_train(*p, seeds, 0.0) * R),
+        gk = jax.grad(lambda *p: jnp.sum(grid_head_train(*p, seeds, 0.0, True) * R),
                       argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
         go = jax.grad(lambda *p: jnp.sum(grid_head_reference(*p) * R),
                       argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
@@ -123,18 +123,23 @@ def test_grid_head_train_kernel_on_tpu():
         # out is EXACTLY linear in W2 given a fixed mask ⇒ grad == finite
         # difference iff the backward regenerated the forward's mask
         E = jnp.asarray(rng.normal(size=W2.shape).astype(np.float32) * 0.01)
-        L = lambda w: jnp.sum(grid_head_train(X, Y, b1, w, b2, seeds, rate) * R)
+        L = lambda w: jnp.sum(grid_head_train(X, Y, b1, w, b2, seeds, rate, True) * R)
         lin = float(L(W2 + E) - L(W2))
         dot = float(jnp.sum(jax.grad(L)(W2) * E))
         assert abs(lin - dot) / max(abs(lin), 1e-9) < 1e-3, (lin, dot)
 
-        # directional derivative in X (piecewise-linear; small symmetric fd)
-        EX = jnp.asarray(rng.normal(size=X.shape).astype(np.float32))
-        LX = lambda x: jnp.sum(grid_head_train(x, Y, b1, W2, b2, seeds, rate) * R)
-        eps = 1e-3
-        fd = float((LX(X + eps * EX) - LX(X - eps * EX)) / (2 * eps))
+        # dX/dz mask consistency: with b1 ≫ |X|+|Y| every z stays positive,
+        # so the function is EXACTLY linear in X (no relu kinks) given a
+        # fixed mask — grad == finite difference iff the backward's dz mask
+        # equals the forward's (a naive small-eps fd probe here is
+        # cancellation-limited; this exact-linearity form is not)
+        b1_pos = jnp.full_like(b1, 4.0)
+        EX = jnp.asarray(rng.normal(size=X.shape).astype(np.float32) * 0.1)
+        LX = lambda x: jnp.sum(
+            grid_head_train(x, Y, b1_pos, W2, b2, seeds, rate, True) * R)
+        lin = float(LX(X + EX) - LX(X))
         dot = float(jnp.sum(jax.grad(LX)(X) * EX))
-        assert abs(fd - dot) / max(abs(fd), 1e-9) < 5e-3, (fd, dot)
+        assert abs(lin - dot) / max(abs(lin), 1e-9) < 1e-3, (lin, dot)
 
 
 def test_fused_train_step_on_tpu(tmp_path):

@@ -32,7 +32,7 @@ def problem():
 
 def test_forward_matches_oracle(problem):
     X, Y, b1, W2, b2, seeds, _ = problem
-    out = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0)
+    out = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0, True)
     ref = grid_head_reference(X, Y, b1, W2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
@@ -42,7 +42,7 @@ def test_gradients_match_oracle(problem):
     X, Y, b1, W2, b2, seeds, R = problem
 
     def loss_kernel(X, Y, b1, W2, b2):
-        return jnp.sum(grid_head_train(X, Y, b1, W2, b2, seeds, 0.0) * R)
+        return jnp.sum(grid_head_train(X, Y, b1, W2, b2, seeds, 0.0, True) * R)
 
     def loss_oracle(X, Y, b1, W2, b2):
         return jnp.sum(grid_head_reference(X, Y, b1, W2, b2) * R)
