@@ -69,9 +69,9 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     if args.train:
         step = make_mention_train_step()
 
-        def make_batches(epoch_rng):
+        def make_batches(epoch_rng, skip=0):
             for _, b in bz.batches(ds.lengths, arrays, ds.ids,
-                                   shuffle_rng=epoch_rng):
+                                   shuffle_rng=epoch_rng, skip=skip):
                 yield shard_batch(
                     (jnp.asarray(b.arrays["token_ids"]),
                      jnp.asarray(b.arrays["lengths"]),

@@ -100,8 +100,8 @@ def main(argv=None) -> None:
     if args.train:
         step = make_affinity_train_step()
 
-        def make_batches(epoch_rng):
-            for b in batcher.batches(ds, rng=epoch_rng):
+        def make_batches(epoch_rng, skip=0):
+            for b in batcher.batches(ds, rng=epoch_rng, skip=skip):
                 jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
                 yield (shard_batch(jb, rt.mesh),)
 

@@ -95,8 +95,8 @@ def main(argv=None) -> None:
         step = make_relation_train_step(
             class_weights=[args.null_weight, 1.0, 1.0, 1.0])
 
-        def make_batches(epoch_rng):
-            for b in batcher.batches(ds, rng=epoch_rng):
+        def make_batches(epoch_rng, skip=0):
+            for b in batcher.batches(ds, rng=epoch_rng, skip=skip):
                 jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
                 yield (shard_batch(jb, rt.mesh),)
 

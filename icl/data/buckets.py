@@ -82,6 +82,7 @@ class Bucketizer:
         ids: Sequence[str],
         shuffle_rng: np.random.Generator | None = None,
         pad_axis_keys: dict[str, int] | None = None,
+        skip: int = 0,
     ) -> Iterator[tuple[int, Batch]]:
         """Yield (bucket_len, Batch).
 
@@ -92,6 +93,8 @@ class Bucketizer:
           ids: per-example ids.
           shuffle_rng: optional rng; shuffles examples within buckets and
             bucket emission order (deterministic given the rng seed).
+          skip: drop the first N batches of the schedule without building
+            them (resume support — no host-side replay of trained batches).
         """
         lengths = np.asarray(lengths)
         order = np.arange(len(ids))
@@ -113,7 +116,7 @@ class Bucketizer:
         if shuffle_rng is not None:
             shuffle_rng.shuffle(schedule)
 
-        for bucket_len, chunk in schedule:
+        for bucket_len, chunk in schedule[skip:]:
             n = len(chunk)
             rows = np.asarray(chunk + [chunk[0]] * (self.batch_size - n))
             batch_arrays = {}

@@ -68,7 +68,11 @@ class RelationBatcher:
         return L, M, P, C
 
     def batches(self, ds: RelationDataset,
-                rng: np.random.Generator | None = None) -> Iterator[ImageBatch]:
+                rng: np.random.Generator | None = None,
+                skip: int = 0) -> Iterator[ImageBatch]:
+        """Yield padded batches; ``skip`` drops the first N batches of the
+        (rng-deterministic) schedule WITHOUT building them — resume never
+        redoes the host-side padding work for already-trained batches."""
         by_shape: dict[tuple, list[RelationImage]] = {}
         for im in ds.images:
             by_shape.setdefault(self.shape_of(im), []).append(im)
@@ -81,7 +85,7 @@ class RelationBatcher:
                 schedule.append((key, group[s:s + self.ipb]))
         if rng is not None:
             rng.shuffle(schedule)
-        for key, group in schedule:
+        for key, group in schedule[skip:]:
             yield self._pad(key, group)
 
     def _pad(self, key: tuple, group: list[RelationImage]) -> ImageBatch:
@@ -137,7 +141,11 @@ class AffinityBatcher:
         return M, B
 
     def batches(self, ds: AffinityDataset,
-                rng: np.random.Generator | None = None) -> Iterator[ImageBatch]:
+                rng: np.random.Generator | None = None,
+                skip: int = 0) -> Iterator[ImageBatch]:
+        """Like RelationBatcher.batches: ``skip`` drops already-trained
+        batches without building them (and, with lazy mmap box views,
+        without touching their feature bytes at all)."""
         by_shape: dict[tuple, list[AffinityImage]] = {}
         for im in ds.images:
             by_shape.setdefault(self.shape_of(im), []).append(im)
@@ -151,7 +159,7 @@ class AffinityBatcher:
         if rng is not None:
             rng.shuffle(schedule)
         D = ds.box_dim
-        for key, group in schedule:
+        for key, group in schedule[skip:]:
             yield self._pad(key, group, D)
 
     def _pad(self, key: tuple, group: list[AffinityImage], D: int) -> ImageBatch:

@@ -210,8 +210,11 @@ def load_affinity_dataset(
     captions = read_captions(split_path(data_dir, split, "captions.txt"))
     all_mentions = {m.mention_id: m for m in
                     read_mentions(split_path(data_dir, split, "mentions.txt"))}
-    box_ids, box_arr = read_box_feats(split_path(data_dir, split, "boxes.npz"))
-    boxes_by_img = group_boxes_by_image(box_ids, box_arr)
+    # memory-mapped + lazy per-image views (SURVEY §4.3): feature bytes are
+    # paged in only when a batch containing the image is actually assembled
+    box_ids, box_arr = read_box_feats(
+        split_path(data_dir, split, "boxes.npz"), mmap=True)
+    boxes_by_img = group_boxes_by_image(box_ids, box_arr, lazy=True)
 
     cells: dict[str, list[tuple[int, int, int, int]]] = {}
     for ex in feats:

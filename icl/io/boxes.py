@@ -18,13 +18,87 @@ gives the per-image candidate sets the affinity model ranks over.
 
 from __future__ import annotations
 
+import ast
 import re
+import struct
+import zipfile
 
 import numpy as np
 
 _BOX_ID_RE = re.compile(r"doc:(?P<doc>[^;]+);box:(?P<box>\d+)$")
 
 FC7_DIM = 4096
+
+
+def _mmap_npz_member(path: str, name: str) -> np.memmap | None:
+    """Memory-map one STORED (uncompressed) member of an .npz archive.
+
+    numpy's ``np.load(mmap_mode=...)`` only maps bare ``.npy`` files — the
+    zip container defeats it — but an uncompressed zip member is a
+    contiguous byte range, so we locate the member's data offset, parse the
+    npy header ourselves, and hand the tail to ``np.memmap``.  Returns None
+    (caller falls back to an eager load) for compressed members, Fortran
+    order, or any structural surprise.  This is the SURVEY §4.3
+    "memory-mapped" box-feature path: MSCOCO-scale fc7 tables never
+    materialize in RAM; only the rows each batch touches are paged in.
+    """
+    try:
+        with zipfile.ZipFile(path) as z:
+            info = z.getinfo(name)
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+        with open(path, "rb") as f:
+            f.seek(info.header_offset)
+            lh = f.read(30)
+            if lh[:4] != b"PK\x03\x04":
+                return None
+            name_len, extra_len = struct.unpack("<HH", lh[26:30])
+            data_off = info.header_offset + 30 + name_len + extra_len
+            f.seek(data_off)
+            if f.read(6) != b"\x93NUMPY":
+                return None
+            major = f.read(2)[0]
+            if major == 1:
+                (hlen,) = struct.unpack("<H", f.read(2))
+                hdr_end = data_off + 10 + hlen
+            else:
+                (hlen,) = struct.unpack("<I", f.read(4))
+                hdr_end = data_off + 12 + hlen
+            header = ast.literal_eval(f.read(hlen).decode("latin1"))
+            if header.get("fortran_order"):
+                return None
+        return np.memmap(path, dtype=np.dtype(header["descr"]), mode="r",
+                         offset=hdr_end, shape=tuple(header["shape"]))
+    except (KeyError, ValueError, OSError, SyntaxError):
+        return None
+
+
+class BoxRows:
+    """Lazy row-subset view over a (possibly memory-mapped) feats table.
+
+    Quacks enough like ``float32[B, D]`` for the batchers (shape/len/
+    slicing); actual feature bytes are read only when a batch containing
+    this image is assembled — so ``--resume auto`` skipping batches, or a
+    split subset, never pages in the untouched rows.
+    """
+
+    def __init__(self, base: np.ndarray, rows) -> None:
+        self.base = base
+        self.rows = np.asarray(rows, dtype=np.int64)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (int(self.rows.size), int(self.base.shape[1]))
+
+    def __len__(self) -> int:
+        return int(self.rows.size)
+
+    def __getitem__(self, key):
+        return np.asarray(self.base[self.rows[key]])
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.base[self.rows])
+        return out.astype(dtype) if dtype is not None else out
 
 
 def parse_box_id(box_id: str) -> tuple[str, int]:
@@ -38,9 +112,21 @@ def make_box_id(img_id: str, box_idx: int) -> str:
     return f"doc:{img_id};box:{box_idx}"
 
 
-def read_box_feats(path: str) -> tuple[list[str], np.ndarray]:
-    """Load (box_ids, float32[N, D]) from .npz (fast) or text format."""
+def read_box_feats(path: str,
+                   mmap: bool = False) -> tuple[list[str], np.ndarray]:
+    """Load (box_ids, float32[N, D]) from .npz (fast) or text format.
+
+    ``mmap=True`` memory-maps the feats member of an uncompressed .npz
+    (ids, tiny, load eagerly); falls back to the eager load when the
+    archive is compressed (the pre-round-2 writer used savez_compressed).
+    """
     if path.endswith(".npz"):
+        if mmap:
+            feats = _mmap_npz_member(path, "feats.npy")
+            if feats is not None:
+                with np.load(path) as z:
+                    ids = [str(s) for s in z["ids"]]
+                return ids, feats
         with np.load(path) as z:
             ids = [str(s) for s in z["ids"]]
             feats = np.asarray(z["feats"], dtype=np.float32)
@@ -61,16 +147,24 @@ def read_box_feats(path: str) -> tuple[list[str], np.ndarray]:
 def write_box_feats(path: str, ids: list[str], feats: np.ndarray) -> None:
     feats = np.asarray(feats, dtype=np.float32)
     if path.endswith(".npz"):
+        # UNcompressed on purpose: fc7 activations barely compress, and a
+        # STORED member is what makes the mmap read path possible
         with open(path, "wb") as f:
-            np.savez_compressed(f, ids=np.array(ids), feats=feats)
+            np.savez(f, ids=np.array(ids), feats=feats)
         return
     with open(path, "w", encoding="utf-8") as f:
         for bid, row in zip(ids, feats):
             f.write(bid + " " + " ".join(f"{v:.6g}" for v in row) + "\n")
 
 
-def group_boxes_by_image(ids: list[str], feats: np.ndarray) -> dict[str, tuple[list[int], np.ndarray]]:
-    """Group to {img_id: (box_indices_in_image_order, float32[B, D])}."""
+def group_boxes_by_image(ids: list[str], feats: np.ndarray,
+                         lazy: bool = False) -> dict[str, tuple[list[int], np.ndarray]]:
+    """Group to {img_id: (box_indices_in_image_order, float32[B, D])}.
+
+    ``lazy=True`` returns :class:`BoxRows` views instead of row copies —
+    pair it with ``read_box_feats(mmap=True)`` so grouping a huge table
+    touches no feature bytes at all.
+    """
     by_img: dict[str, list[tuple[int, int]]] = {}
     for row, bid in enumerate(ids):
         img, b = parse_box_id(bid)
@@ -80,5 +174,5 @@ def group_boxes_by_image(ids: list[str], feats: np.ndarray) -> dict[str, tuple[l
         pairs.sort()
         box_idx = [b for b, _ in pairs]
         rows = [r for _, r in pairs]
-        out[img] = (box_idx, feats[rows])
+        out[img] = (box_idx, BoxRows(feats, rows) if lazy else feats[rows])
     return out

@@ -83,16 +83,28 @@ def run_training(state: TrainState, step_fn: Callable,
         # (epoch, batch_in_epoch) and skipping already-trained batches makes
         # kill-anywhere resume bit-reproducible (tests/integration/
         # test_resume.py kills mid-epoch with shuffling on)
+        import inspect
+
+        # skip-aware generators (all in-tree ones) never BUILD the skipped
+        # batches — resume does no host-side replay of trained batches'
+        # padding/feature reads; legacy generators fall back to iterate-and-
+        # drop (still bit-identical, just wasteful)
+        supports_skip = "skip" in inspect.signature(make_batches).parameters
         t_last = time.perf_counter()
         ex_since = 0
         for epoch in range(start_epoch, cfg.epochs):
             epoch_rng = np.random.default_rng(
                 np.random.SeedSequence([cfg.seed, epoch]))
             skip = start_batch if epoch == start_epoch else 0
-            batch_in_epoch = 0
-            for args in prefetch(make_batches(epoch_rng)):
+            if supports_skip:
+                gen = make_batches(epoch_rng, skip=skip)
+                batch_in_epoch = skip
+            else:
+                gen = make_batches(epoch_rng)
+                batch_in_epoch = 0
+            for args in prefetch(gen):
                 batch_in_epoch += 1
-                if batch_in_epoch <= skip:
+                if not supports_skip and batch_in_epoch <= skip:
                     continue
                 state, metrics = step_fn(state, *args)
                 step = int(state.step)

@@ -127,3 +127,74 @@ def test_kill_and_resume(tmp_path, synth_dir, emb):
     assert int(stB2.step) == int(stA.step) == 8
     for a, b in zip(jax.tree.leaves(stA.params), jax.tree.leaves(stB2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resume_skips_without_host_replay(tmp_path, synth_dir, emb):
+    """A skip-aware make_batches must be invoked with skip=N on resume and
+    asked to BUILD only the remaining batches (VERDICT r1 missing#4 /
+    CLAUDE.md round-2 note: no host-side generator replay)."""
+    from icl.train.checkpoint import Checkpointer
+
+    model, pooled, table, args = _setup(synth_dir, emb)
+    tok, ln, lb, vd = args
+    n = int(tok.shape[0]) // 2 * 2
+    half = n // 2
+    built = []          # (epoch_call_idx, batch_idx_built)
+    skips_seen = []
+
+    def make_batches(epoch_rng, skip=0):
+        skips_seen.append(skip)
+        order = epoch_rng.permutation(n)
+        for k, s in enumerate(range(0, n, half)):
+            if k < skip:
+                continue  # schedule entry dropped WITHOUT building
+            built.append(k)
+            idx = order[s:s + half]
+            yield (tok[idx], ln[idx], lb[idx], vd[idx])
+
+    step = make_mention_train_step(donate=False)
+    wrapped = lambda s, *a: step(s, table, *a)
+
+    # train 2 epochs x 2 batches, checkpointing every step; then resume
+    # from the mid-epoch-1 checkpoint (step 3 = epoch 1, batch 1 done)
+    ck_dir = str(tmp_path / "ck_skip")
+    st = create_train_state(model, (pooled,), seed=4)
+    st = run_training(st, wrapped, make_batches,
+                      LoopConfig(epochs=2, ckpt_dir=ck_dir, ckpt_every=1,
+                                 seed=4))
+    final_step = int(st.step)
+    assert final_step == 4
+
+    built.clear()
+    skips_seen.clear()
+    # wipe the end-marker so resume lands mid-run: rebuild a dir holding
+    # only the step-3 checkpoint
+    ck = Checkpointer(ck_dir)
+    import orbax.checkpoint as ocp
+    import jax as _jax
+    template = create_train_state(model, (pooled,), seed=4)
+    restored = ck._mgr.restore(3, args=ocp.args.StandardRestore({
+        "params": _jax.tree.map(np.asarray, template.params),
+        "opt_state": _jax.tree.map(np.asarray, template.opt_state),
+        "step": 0, "rng": np.asarray(template.rng),
+        "epoch": 0, "batch_in_epoch": 0}))
+    ck2_dir = str(tmp_path / "ck_skip2")
+    ck2 = Checkpointer(ck2_dir)
+    st2 = template.replace(
+        params=_jax.tree.map(jnp.asarray, restored["params"]),
+        opt_state=_jax.tree.map(jnp.asarray, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32),
+        rng=jnp.asarray(restored["rng"]))
+    ck2.save(st2, wait=True, epoch=restored["epoch"],
+             batch_in_epoch=restored["batch_in_epoch"])
+    ck2.close()
+
+    st3 = create_train_state(model, (pooled,), seed=4)
+    st3 = run_training(st3, wrapped, make_batches,
+                       LoopConfig(epochs=2, ckpt_dir=ck2_dir, ckpt_every=0,
+                                  resume="auto", seed=4))
+    assert int(st3.step) == final_step
+    # the resumed epoch was asked to skip its first batch and built ONLY
+    # the remaining one — no host-side replay of trained batches
+    assert skips_seen == [1]
+    assert built == [1]

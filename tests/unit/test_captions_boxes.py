@@ -41,6 +41,40 @@ def test_box_feats_npz(synth_dir):
         assert f.shape[0] == len(order)
 
 
+def test_box_feats_npz_mmap(synth_dir, tmp_path):
+    """The mmap path returns a true memory map with identical data, and the
+    lazy grouping touches no feature bytes until a row is sliced
+    (SURVEY §4.3 'memory-mapped'; VERDICT r1 missing#4)."""
+    from icl.io.boxes import BoxRows
+
+    path = os.path.join(synth_dir, "train.boxes.npz")
+    ids_e, feats_e = read_box_feats(path)
+    ids_m, feats_m = read_box_feats(path, mmap=True)
+    assert ids_m == ids_e
+    assert isinstance(feats_m, np.memmap), "mmap path fell back to eager"
+    np.testing.assert_array_equal(np.asarray(feats_m), feats_e)
+
+    lazy = group_boxes_by_image(ids_m, feats_m, lazy=True)
+    eager = group_boxes_by_image(ids_e, feats_e)
+    for img in eager:
+        order_l, rows = lazy[img]
+        order_e, arr = eager[img]
+        assert order_l == order_e
+        assert isinstance(rows, BoxRows)
+        assert rows.shape == arr.shape and len(rows) == arr.shape[0]
+        np.testing.assert_array_equal(rows[:2], arr[:2])      # sliced read
+        np.testing.assert_array_equal(np.asarray(rows), arr)  # full read
+
+    # compressed archives (pre-round-2 writer) still load, eagerly
+    import zipfile
+    comp = str(tmp_path / "c.boxes.npz")
+    with open(comp, "wb") as f:
+        np.savez_compressed(f, ids=np.array(ids_e), feats=feats_e)
+    ids_c, feats_c = read_box_feats(comp, mmap=True)
+    assert ids_c == ids_e and not isinstance(feats_c, np.memmap)
+    np.testing.assert_array_equal(feats_c, feats_e)
+
+
 def test_box_feats_text_roundtrip(tmp_path):
     ids = [make_box_id("a.jpg", 0), make_box_id("a.jpg", 1)]
     feats = np.array([[1.5, -2.0], [0.0, 3.25]], np.float32)
