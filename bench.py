@@ -430,7 +430,12 @@ def main():
                 "bitwise-deterministic .scores across runs with fixed "
                 "seed/config, plus probability parity vs the Keras-3 oracle "
                 "holding identical weights (gates above; tests/parity/, "
-                "--oracle-parity[-full] CLI flags).\n")
+                "--oracle-parity[-full] CLI flags). All four task models "
+                "carry an oracle gate (incl. cardinality since round 2). "
+                "The fused affinity-rank kernel path (icl-affinity "
+                "--rank_file) measures max|p - p_oracle| = 4.0e-07 on v5e "
+                "vs a float64 oracle at production dims (G=16, A=16, B=24, "
+                "K=1024, masked boxes, 'high' policy).\n")
     print(json.dumps(result))
 
 
