@@ -399,10 +399,17 @@ def main():
                 "never reach HBM |\n"
                 "| scan unroll 2/4/8/16 | neutral-to-negative, predict AND "
                 "train (kept 1) |\n"
-                "| tiled Pallas LSTM recurrence | negative result: bit-"
+                "| tiled Pallas LSTM recurrence | negative result #1: bit-"
                 "exact but 1.7x slower (VMEM caps tiles at 32 rows; grid "
                 "programs serialize); scan is ~56 TFLOPS f32, near "
                 "compute-bound |\n"
+                "| [r2] DMA-double-buffered full-batch LSTM recurrence | "
+                "negative result #2: bit-exact, VMEM independent of L, but "
+                "per-direction programs double the sequential chain (6.39M "
+                "vs 9.20M pairs/s predict at f32-high) and the single-"
+                "program variant exceeds scoped VMEM (17.5MB f32 / ~30MB "
+                "bf16 vs 16MB; Mosaic bf16 logistic miscompiles) — see "
+                "icl/ops/lstm_kernel.py |\n"
                 "| [r2] grid_head_train custom-VJP kernel (in-kernel PRNG "
                 "dropout, on-chip recompute backward) | train step 4.2 -> "
                 "3.15 ms (the gather path materialized h + mask in HBM and "

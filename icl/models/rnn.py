@@ -223,7 +223,8 @@ class BiLSTM(nn.Module):
     hidden: int
     compute_dtype: jnp.dtype = jnp.float32
     unroll: int = 1   # scan unroll knob (measured neutral-to-negative on v5e)
-    use_kernel: bool = False   # Pallas recurrence kernel (inference, TPU)
+    use_kernel: bool = False   # r1 tiled Pallas recurrence (negative result)
+    stream_kernel: bool = False  # r2 DMA-streaming recurrence (neg. result)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
@@ -234,11 +235,16 @@ class BiLSTM(nn.Module):
         kf, rf, bf = _LSTMParams(D, H, name="fwd")()
         kb, rb, bb = _LSTMParams(D, H, name="bwd")()
 
-        if self.use_kernel and _jax.devices()[0].platform == "tpu":
-            from icl.ops.lstm_kernel import bilstm_apply_pallas
+        if ((self.use_kernel or self.stream_kernel)
+                and _jax.devices()[0].platform == "tpu"):
+            from icl.ops.lstm_kernel import (bilstm_apply_pallas,
+                                             bilstm_apply_stream)
 
             params = {"fwd": {"kernel": kf, "recurrent_kernel": rf, "bias": bf},
                       "bwd": {"kernel": kb, "recurrent_kernel": rb, "bias": bb}}
+            if self.stream_kernel:
+                return bilstm_apply_stream(x, lengths, params, hidden=H,
+                                           compute_dtype=self.compute_dtype)
             return bilstm_apply_pallas(x, lengths, params, hidden=H)
 
         cd = self.compute_dtype

@@ -77,6 +77,25 @@ def test_bilstm_kernel_on_tpu():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_stream_lstm_kernel_on_tpu():
+    """r2 streaming recurrence: bit-exact on real Mosaic DMA (negative perf
+    result at production shape — see icl/ops/lstm_kernel.py docstring)."""
+    _require_tpu()
+    from icl.models.rnn import BiLSTM
+    from icl.ops.lstm_kernel import bilstm_apply_stream
+    rng = np.random.default_rng(7)
+    B, L, D, H = 64, 12, 20, 16
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, L + 1, size=B).astype(np.int32))
+    m = BiLSTM(hidden=H)
+    params = m.init(jax.random.PRNGKey(0), x, lengths)["params"]
+    with _highest_precision():
+        seq_ref, fin_ref = m.apply({"params": params}, x, lengths)
+        seq_k, fin_k = bilstm_apply_stream(x, lengths, params, hidden=H)
+    np.testing.assert_array_equal(np.asarray(seq_k), np.asarray(seq_ref))
+    np.testing.assert_array_equal(np.asarray(fin_k), np.asarray(fin_ref))
+
+
 def test_grid_head_train_kernel_on_tpu():
     """grid_head_train custom VJP on real Mosaic: rate=0 oracle equality,
     dropout determinism, and fwd/bwd mask consistency via linearity probes
