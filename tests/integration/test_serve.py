@@ -11,7 +11,7 @@ import pytest
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
     from icl.testing.synth import SynthConfig, generate_dataset
-    from icl.cli import nonvisual, relation
+    from icl.cli import affinity, nonvisual, relation
     from icl.serve import serve
 
     d = str(tmp_path_factory.mktemp("serve"))
@@ -19,6 +19,9 @@ def served(tmp_path_factory):
     nonvisual.main(["--train", "--data_dir", d, "--epochs", "2",
                     "--batch_size", "32", "--hidden_width", "16"])
     relation.main(["--train", "--data_dir", d, "--epochs", "1",
+                   "--lstm_hidden_width", "8", "--head_hidden", "16",
+                   "--images_per_batch", "2"])
+    affinity.main(["--train", "--data_dir", d, "--epochs", "1",
                    "--lstm_hidden_width", "8", "--head_hidden", "16",
                    "--images_per_batch", "2"])
     httpd = serve(d, port=0)          # ephemeral port
@@ -120,10 +123,36 @@ def test_warmup_precompiles_request_shapes(served):
         "warmed shape recompiled on first request"
 
 
+def test_score_affinity_multi_image(served):
+    """Affinity scoring restores box_dim from model_config.json and groups
+    same-shaped images into one batched predict call."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    assert scorer.tasks["affinity"]["box_dim"] == 64  # from model_config
+    t = scorer.tasks["affinity"]
+    calls = []
+    real = t["predict"]
+    t["predict"] = lambda *a: (calls.append(1), real(*a))[1]
+    try:
+        img = {"phrases": [["w001", "w002"], ["w003"]],
+               "boxes": [[0.1] * 64, [0.2] * 64, [0.3] * 64]}
+        status, body = _post(url, "/score/affinity",
+                             {"images": [dict(img, id=f"a{k}")
+                                         for k in range(3)]})
+    finally:
+        t["predict"] = real
+    assert status == 200
+    assert len(calls) == 1
+    assert len(body["images"]) == 3
+    for im in body["images"]:
+        assert len(im["grid"]) == 2 and len(im["grid"][0]) == 3
+        assert abs(sum(im["grid"][0][0]) - 1.0) < 1e-4
+
+
 def test_bad_requests(served):
     url, _ = served
-    status, body = _post(url, "/score/affinity", {"images": []})
-    assert status == 404               # affinity not trained in this fixture
+    status, body = _post(url, "/score/cardinality", {"mentions": []})
+    assert status == 404               # cardinality not trained here
     status, body = _post(url, "/score/relation", {"wrong": 1})
     assert status == 400 and "error" in body
     req = urllib.request.Request(url + "/score/nonvisual",
