@@ -88,3 +88,31 @@ def test_dp_matches_single_device_relation(synth_dir, emb):
     p8 = train(build_mesh("8"))
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_dp_matches_single_device_fused_train(synth_dir, emb):
+    """The fused grid-head TRAIN path (custom-VJP pallas kernel) is DP-safe:
+    sharded batch + replicated params reproduce the single-device step
+    exactly (dropout=0 — the rate>0 kernel path needs the Mosaic PRNG,
+    absent in interpret mode; on real chips the per-image seeds make rate>0
+    DP-consistent by construction)."""
+    import __graft_entry__ as ge
+    from icl.models import RelationModel
+    from icl.train import create_train_state, make_relation_train_step
+
+    rng = np.random.default_rng(11)
+    table_h = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+    batch = ge._synth_relation_batch(rng, I=8, C=2, L=8, M=4, vocab=200)
+    model = RelationModel(lstm_hidden=8, head_hidden=16, dropout=0.0,
+                          fused=True)
+    state = create_train_state(model, (table_h, batch), seed=0)
+    step = make_relation_train_step(donate=False)
+
+    st1, m1 = step(state, table_h, batch)
+    mesh = build_mesh("8")
+    st8, m8 = step(replicate(state, mesh), replicate(table_h, mesh),
+                   shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
