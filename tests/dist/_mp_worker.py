@@ -5,7 +5,8 @@ Each process: 4 local faked CPU devices → 8 global; bootstrap through
 train the nonvisual FFNN 5 DP steps on a deterministic synthetic batch, and
 dump the final (replicated) params to ``<out>/params_<pid>.npz``.
 
-Usage: python _mp_worker.py <process_id> <num_processes> <port> <out_dir>
+Usage: python _mp_worker.py <process_id> <num_processes> <port> <out_dir> [model]
+(model: "nonvisual" — FFNN — or "relation" — BiLSTM + fused-head path)
 """
 
 import os
@@ -24,6 +25,18 @@ def synth_batch():
     return table, tok, ln, lb
 
 
+def synth_relation():
+    """Deterministic relation batch (identical on every process)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    import __graft_entry__ as ge
+
+    rng = np.random.default_rng(321)
+    table = rng.normal(size=(60, 12)).astype(np.float32)
+    batch = ge._synth_relation_batch(rng, I=8, C=2, L=6, M=4, vocab=60)
+    return table, batch
+
+
 def main():
     # all jax config mutation lives HERE, not at module level: the test
     # process imports this module for synth_batch() and must not have its
@@ -36,11 +49,13 @@ def main():
 
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+    which = sys.argv[5] if len(sys.argv) > 5 else "nonvisual"
     from icl import runtime
     from icl.dist.mesh import replicate, shard_batch
-    from icl.models import NonvisualModel
+    from icl.models import NonvisualModel, RelationModel
     from icl.models.nonvisual import mean_pool_tokens
-    from icl.train import create_train_state, make_mention_train_step
+    from icl.train import (create_train_state, make_mention_train_step,
+                           make_relation_train_step)
 
     rt = runtime.init(topology="8x1", seed=0,
                       coordinator=f"localhost:{port}",
@@ -49,6 +64,25 @@ def main():
     assert jax.process_count() == nproc
 
     import jax.numpy as jnp
+    if which == "relation":
+        table_h, batch = synth_relation()
+        model = RelationModel(lstm_hidden=6, head_hidden=12)
+        st = create_train_state(model, (jnp.asarray(table_h), batch), seed=5)
+        st = replicate(st, rt.mesh)
+        table = replicate(jnp.asarray(table_h), rt.mesh)
+        sbatch = shard_batch(batch, rt.mesh)
+        step = make_relation_train_step(class_weights=[0.3, 1, 1, 1],
+                                        donate=False)
+        for _ in range(3):
+            st, metrics = step(st, table, sbatch)
+        flat = {"/".join(str(k.key) for k in path): np.asarray(v)
+                for path, v in
+                jax.tree_util.tree_flatten_with_path(st.params)[0]}
+        np.savez(os.path.join(out, f"params_{pid}.npz"),
+                 loss=float(metrics["loss"]), **flat)
+        print(f"worker {pid}/{nproc} relation: OK "
+              f"loss={float(metrics['loss']):.6f}", flush=True)
+        return
     table_h, tok, ln, lb = synth_batch()
     vd = np.ones(64, bool)
     model = NonvisualModel(hidden=8)

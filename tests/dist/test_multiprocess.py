@@ -14,6 +14,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -27,49 +28,64 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference():
+def _single_process_reference(which="nonvisual"):
     """Same math as the worker, on this process's 8 faked devices."""
     sys.path.insert(0, os.path.dirname(WORKER))
     try:
-        from _mp_worker import synth_batch
+        from _mp_worker import synth_batch, synth_relation
     finally:
         sys.path.pop(0)
     from icl.dist.mesh import build_mesh, replicate, shard_batch
-    from icl.models import NonvisualModel
+    from icl.models import NonvisualModel, RelationModel
     from icl.models.nonvisual import mean_pool_tokens
-    from icl.train import create_train_state, make_mention_train_step
+    from icl.train import (create_train_state, make_mention_train_step,
+                           make_relation_train_step)
 
-    table_h, tok, ln, lb = synth_batch()
-    vd = np.ones(64, bool)
     mesh = build_mesh("8x1")
-    model = NonvisualModel(hidden=8)
-    pooled = mean_pool_tokens(jnp.asarray(table_h), jnp.asarray(tok[:1]),
-                              jnp.asarray(ln[:1]))
-    st = create_train_state(model, (pooled,), seed=5)
-    st = replicate(st, mesh)
-    table = replicate(jnp.asarray(table_h), mesh)
-    args = shard_batch((tok, ln, lb, vd), mesh)
-    step = make_mention_train_step(donate=False)
-    for _ in range(5):
-        st, _ = step(st, table, *args)
+    if which == "relation":
+        table_h, batch = synth_relation()
+        model = RelationModel(lstm_hidden=6, head_hidden=12)
+        st = create_train_state(model, (jnp.asarray(table_h), batch), seed=5)
+        st = replicate(st, mesh)
+        table = replicate(jnp.asarray(table_h), mesh)
+        sbatch = shard_batch(batch, mesh)
+        step = make_relation_train_step(class_weights=[0.3, 1, 1, 1],
+                                        donate=False)
+        for _ in range(3):
+            st, _ = step(st, table, sbatch)
+    else:
+        table_h, tok, ln, lb = synth_batch()
+        vd = np.ones(64, bool)
+        model = NonvisualModel(hidden=8)
+        pooled = mean_pool_tokens(jnp.asarray(table_h), jnp.asarray(tok[:1]),
+                                  jnp.asarray(ln[:1]))
+        st = create_train_state(model, (pooled,), seed=5)
+        st = replicate(st, mesh)
+        table = replicate(jnp.asarray(table_h), mesh)
+        args = shard_batch((tok, ln, lb, vd), mesh)
+        step = make_mention_train_step(donate=False)
+        for _ in range(5):
+            st, _ = step(st, table, *args)
     return {"/".join(str(k.key) for k in path): np.asarray(v)
             for path, v in
             jax.tree_util.tree_flatten_with_path(st.params)[0]}
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
+@pytest.mark.parametrize("which", ["nonvisual", "relation"])
+def test_two_process_dp_matches_single_process(tmp_path, which):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # device count set in-worker via config API
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path)],
+        [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path),
+         which],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)]
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
-    ref = _single_process_reference()
+    ref = _single_process_reference(which)
     runs = [dict(np.load(tmp_path / f"params_{pid}.npz")) for pid in range(2)]
     # both processes hold identical replicated params...
     for k in ref:
