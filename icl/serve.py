@@ -59,14 +59,87 @@ _WARMUP_BASIC = {
 }
 
 
+class _Coalescer:
+    """Cross-request micro-batcher (production serving, SURVEY L6+).
+
+    ``ThreadingHTTPServer`` runs one thread per request; without this,
+    simultaneous single-image requests each pay a full jit dispatch (~30 ms
+    through the axon relay).  Request threads submit per-image work items;
+    a collector thread drains the queue after a short accumulation window
+    and scores same-(task, shape) items in shared batched device calls.
+    """
+
+    def __init__(self, run_group, window_s: float = 0.002):
+        import threading
+
+        self._run_group = run_group   # (task, key, [arrays]) -> [row result]
+        self.window = max(window_s, 0.0)
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self._wakeup = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="icl-serve-coalescer")
+        self._thread.start()
+
+    def submit_many(self, task: str, items: list[tuple]) -> list:
+        """Submit [(shape_key, arrays)] work; block until all rows scored."""
+        import threading
+
+        entries = [{"task": task, "key": key, "arrays": arrays,
+                    "done": threading.Event(), "result": None, "error": None}
+                   for key, arrays in items]
+        with self._lock:
+            self._pending.extend(entries)
+            self._wakeup.set()
+        for e in entries:
+            e["done"].wait()
+            if e["error"] is not None:
+                raise e["error"]
+        return [e["result"] for e in entries]
+
+    def _loop(self):
+        import time
+
+        while True:
+            self._wakeup.wait()
+            if self.window:
+                time.sleep(self.window)   # let concurrent requests pile up
+            with self._lock:
+                batch, self._pending = self._pending, []
+                self._wakeup.clear()
+            groups: dict[tuple, list] = {}
+            for e in batch:
+                groups.setdefault((e["task"], e["key"]), []).append(e)
+            for (task, key), entries in groups.items():
+                try:
+                    rows = self._run_group(task, key,
+                                           [e["arrays"] for e in entries])
+                    for e, r in zip(entries, rows):
+                        e["result"] = r
+                except Exception as exc:  # propagate to every waiter
+                    for e in entries:
+                        e["error"] = exc
+                finally:
+                    for e in entries:
+                        e["done"].set()
+
+
 class Scorer:
-    """Loads embeddings + available task checkpoints; scores dict payloads."""
+    """Loads embeddings + available task checkpoints; scores dict payloads.
+
+    ``batch_window_ms``: cross-request micro-batching window (see
+    _Coalescer); negative disables coalescing (inline per-request scoring).
+    """
 
     def __init__(self, data_dir: str, embeddings_file: str | None = None,
-                 tasks: list[str] | None = None):
+                 tasks: list[str] | None = None,
+                 batch_window_ms: float = 2.0):
         emb_path = embeddings_file or os.path.join(data_dir, "embeddings.txt")
         self.emb = EmbeddingStore.load(emb_path)
         self.table = jnp.asarray(self.emb.table)
+        self.coalescer = (None if batch_window_ms < 0 else
+                          _Coalescer(self._run_group,
+                                     window_s=batch_window_ms / 1000.0))
         self.tasks: dict[str, dict] = {}
         wanted = tasks or ["nonvisual", "cardinality", "relation", "affinity"]
         for task in wanted:
@@ -229,40 +302,53 @@ class Scorer:
                   "pair_label": np.zeros(P, np.int32), "pair_valid": pv}
         return (C, L, M, P), arrays, pairs
 
-    @staticmethod
-    def _grouped_batches(prepped):
-        """Group image indices by shape key; chunk to the _IMG_SPEC cap."""
-        groups: dict[tuple, list[int]] = {}
-        for idx, (key, _a, *_rest) in enumerate(prepped):
-            groups.setdefault(key, []).append(idx)
-        cap = _IMG_SPEC.boundaries[-1]
-        for key, idxs in groups.items():
-            for s in range(0, len(idxs), cap):
-                yield key, idxs[s:s + cap]
-
-    def _stack_chunk(self, prepped, chunk):
-        """Pad a chunk of same-shape images to an _IMG_SPEC batch."""
-        I = _IMG_SPEC.bucket_of(len(chunk))
-        arrays0 = prepped[chunk[0]][1]
+    def _stack_arrays(self, arrays_list):
+        """Pad a list of same-shape per-image array dicts to an _IMG batch."""
+        I = _IMG_SPEC.bucket_of(len(arrays_list))
+        arrays0 = arrays_list[0]
         batch = {k: np.zeros((I, *v.shape), v.dtype)
                  for k, v in arrays0.items()}
         batch["img_valid"] = np.zeros(I, bool)
-        for row, idx in enumerate(chunk):
-            for k, v in prepped[idx][1].items():
+        for row, arrays in enumerate(arrays_list):
+            for k, v in arrays.items():
                 batch[k][row] = v
             batch["img_valid"][row] = True
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _run_group(self, task: str, key: tuple, arrays_list: list) -> list:
+        """Score same-shaped per-image work in batched predict calls."""
+        del key  # shapes are identical within a group by construction
+        t = self.tasks[task]
+        cap = _IMG_SPEC.boundaries[-1]
+        rows: list = []
+        for s in range(0, len(arrays_list), cap):
+            chunk = arrays_list[s:s + cap]
+            probs = np.asarray(t["predict"](t["params"], self.table,
+                                            self._stack_arrays(chunk)))
+            rows.extend(probs[r] for r in range(len(chunk)))
+        return rows
+
+    def _score_images(self, task: str, prepped: list) -> list:
+        """Per-image results via the coalescer (cross-request batching) or
+        inline grouped calls when coalescing is disabled."""
+        if self.coalescer is not None:
+            return self.coalescer.submit_many(
+                task, [(key, arrays) for key, arrays, *_ in prepped])
+        results: list = [None] * len(prepped)
+        groups: dict[tuple, list[int]] = {}
+        for idx, (key, _a, *_rest) in enumerate(prepped):
+            groups.setdefault(key, []).append(idx)
+        for key, idxs in groups.items():
+            rows = self._run_group(task, key, [prepped[i][1] for i in idxs])
+            for idx, r in zip(idxs, rows):
+                results[idx] = r
+        return results
 
     def score_relation(self, payload: dict) -> dict:
         t = self.tasks["relation"]
         prepped = [self._prep_relation_image(img)
                    for img in payload["images"]]
-        results: list = [None] * len(prepped)
-        for _key, chunk in self._grouped_batches(prepped):
-            batch = self._stack_chunk(prepped, chunk)
-            probs = np.asarray(t["predict"](t["params"], self.table, batch))
-            for row, idx in enumerate(chunk):
-                results[idx] = probs[row]
+        results = self._score_images("relation", prepped)
         out = []
         for idx, img in enumerate(payload["images"]):
             pairs = prepped[idx][2]
@@ -298,12 +384,7 @@ class Scorer:
         t = self.tasks["affinity"]
         prepped = [self._prep_affinity_image(img)
                    for img in payload["images"]]
-        results: list = [None] * len(prepped)
-        for _key, chunk in self._grouped_batches(prepped):
-            batch = self._stack_chunk(prepped, chunk)
-            probs = np.asarray(t["predict"](t["params"], self.table, batch))
-            for row, idx in enumerate(chunk):
-                results[idx] = probs[row]
+        results = self._score_images("affinity", prepped)
         out = []
         for idx, img in enumerate(payload["images"]):
             n_phrases, n_boxes = prepped[idx][2]
@@ -391,7 +472,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(data_dir: str, port: int, embeddings_file: str | None = None,
           tasks: list[str] | None = None,
-          warmup: str = "basic") -> ThreadingHTTPServer:
+          warmup: str = "basic",
+          batch_window_ms: float = 2.0) -> ThreadingHTTPServer:
     """Build the server (caller decides serve_forever vs background)."""
     import time
 
@@ -400,7 +482,8 @@ def serve(data_dir: str, port: int, embeddings_file: str | None = None,
     # scoring service is parity-grade: true-f32 matmuls (see
     # icl.cli._common.apply_precision for the TPU rationale)
     jax.config.update("jax_default_matmul_precision", "high")
-    scorer = Scorer(data_dir, embeddings_file, tasks)
+    scorer = Scorer(data_dir, embeddings_file, tasks,
+                    batch_window_ms=batch_window_ms)
     t0 = time.perf_counter()
     n = scorer.warmup(warmup)
     if n:
@@ -428,10 +511,14 @@ def main(argv=None) -> None:
                    help="pre-compile predict programs at startup: 'basic' "
                         "covers the common bucket shapes, 'full' the whole "
                         "inventory (slow on TPU)")
+    p.add_argument("--batch_window_ms", type=float, default=2.0,
+                   help="cross-request micro-batching window: concurrent "
+                        "same-shape image work coalesces into shared "
+                        "device calls; negative disables coalescing")
     args = p.parse_args(argv)
     httpd = serve(args.data_dir, args.port, args.embeddings_file,
                   args.tasks.split(",") if args.tasks else None,
-                  warmup=args.warmup)
+                  warmup=args.warmup, batch_window_ms=args.batch_window_ms)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -104,6 +104,42 @@ def test_multi_image_request_is_one_predict_call(served):
         assert abs(sum(im["pairs"][0]["probs"]) - 1.0) < 1e-4
 
 
+def test_cross_request_coalescing(served):
+    """Concurrent same-shaped single-image requests from separate client
+    threads must coalesce into fewer (ideally one) batched device calls."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    assert scorer.coalescer is not None
+    t = scorer.tasks["relation"]
+    calls = []
+    real = t["predict"]
+    t["predict"] = lambda *a: (calls.append(1), real(*a))[1]
+    old_window = scorer.coalescer.window
+    scorer.coalescer.window = 0.25    # generous accumulation for the test
+    results = [None] * 4
+
+    def fire(k):
+        img = {"id": f"c{k}",
+               "captions": [["w001", "w002", "w003"]],
+               "mentions": [{"caption": 0, "first": 0, "last": 1},
+                            {"caption": 0, "first": 2, "last": 2}]}
+        results[k] = _post(url, "/score/relation", {"images": [img]})
+
+    try:
+        threads = [threading.Thread(target=fire, args=(k,)) for k in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+    finally:
+        t["predict"] = real
+        scorer.coalescer.window = old_window
+    assert all(r is not None and r[0] == 200 for r in results)
+    probs = [r[1]["images"][0]["pairs"][0]["probs"] for r in results]
+    assert all(p == probs[0] for p in probs)      # identical inputs
+    assert len(calls) < 4, f"no coalescing: {len(calls)} device calls"
+
+
 def test_warmup_precompiles_request_shapes(served):
     """After Scorer.warmup, a warmed-shape request hits the jit cache —
     zero new compilations (VERDICT r1 missing#5)."""
