@@ -26,6 +26,9 @@ def main(argv=None) -> None:
     # no --head_hidden here: per-task model_config.json is authoritative on
     # predict, so exposing the flag would only mislead (VERDICT r1 weak#8)
     p.add_argument("--with_cardinality", action="store_true")
+    p.add_argument("--with_rank", action="store_true",
+                   help="also write <split>.affinity.rank (per-image box-"
+                        "ranking distributions, SURVEY §6.5 inference extra)")
     args = p.parse_args(argv)
     if args.train:
         p.error("icl-joint is inference-only; train per-task CLIs instead")
@@ -62,6 +65,9 @@ def main(argv=None) -> None:
     aff_cfg = model_cfg("affinity")
     aff_cli.main(common
                  + ["--images_per_batch", str(args.images_per_batch)]
+                 + (["--rank_file", os.path.join(
+                        args.data_dir, f"{args.data_split}.affinity.rank")]
+                    if args.with_rank else [])
                  + (["--lstm_hidden_width", str(aff_cfg["lstm_hidden"]),
                      "--head_hidden", str(aff_cfg["head_hidden"]),
                      "--phrase_enc", aff_cfg.get("phrase_enc", "lstm")]

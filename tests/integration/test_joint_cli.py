@@ -21,7 +21,11 @@ def test_joint_after_training(tmp_path):
                    "--head_hidden", "16", *small])
 
     joint.main(["--predict", "--data_dir", d, "--data_split", "dev",
-                "--images_per_batch", "2"])
+                "--images_per_batch", "2", "--with_rank"])
     for task, ncols in (("nonvisual", 2), ("relation", 4), ("affinity", 2)):
         ids, probs = read_scores(os.path.join(d, f"dev.{task}.scores"))
         assert len(ids) > 0 and probs.shape[1] == ncols
+    # --with_rank: per-image box-ranking distributions alongside the scores
+    rids, ranks = read_scores(os.path.join(d, "dev.affinity.rank"))
+    assert len(rids) > 0 and ranks.shape[1] == 1
+    assert (ranks >= 0).all() and (ranks <= 1).all()
