@@ -101,13 +101,24 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                     model_dir)
     predict = make_mention_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
-    for _, b in bz.batches(ds.lengths, arrays, ds.ids):
-        p = np.asarray(predict(state.params, table,
-                               *shard_batch((jnp.asarray(b.arrays["token_ids"]),
-                                             jnp.asarray(b.arrays["lengths"])),
-                                            rt.mesh)))
+
+    def _consume(b, dev_p):
+        p = np.asarray(dev_p)
         for row, eid in enumerate(b.ids):
             probs_by_id[eid] = p[row]
+
+    # dispatch-ahead pipeline (see icl/cli/relation.py)
+    pending = None
+    for _, b in bz.batches(ds.lengths, arrays, ds.ids):
+        dev = predict(state.params, table,
+                      *shard_batch((jnp.asarray(b.arrays["token_ids"]),
+                                    jnp.asarray(b.arrays["lengths"])),
+                                   rt.mesh))
+        if pending is not None:
+            _consume(*pending)
+        pending = (b, dev)
+    if pending is not None:
+        _consume(*pending)
     probs = np.stack([probs_by_id[eid] for eid in ds.ids])
     if args.oracle_parity or args.oracle_parity_full:
         import jax

@@ -138,22 +138,34 @@ def main(argv=None) -> None:
     def logits_fn(p, t, bb):
         return model.apply({"params": p}, t, bb, deterministic=True)
 
-    for b in batcher.batches(ds):
-        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                         rt.mesh)
-        logits_dev = logits_fn(state.params, table, jb)
-        probs = np.asarray(jax.nn.softmax(logits_dev, axis=-1))  # [I,M,B,2]
-        I, M, B, _ = probs.shape
-        if args.rank_file:
-            ranks = np.asarray(rank_fn(logits_dev, jb["box_valid"]))
+    def _consume(b, dev_probs, dev_ranks):
+        probs = np.asarray(dev_probs)                         # [I,M,B,2]
+        B = probs.shape[2]
+        ranks = np.asarray(dev_ranks) if dev_ranks is not None else None
         labels = b.arrays["grid_label"]
         for (s, cell, cid) in b.id_index:
             r, c = divmod(cell, B)
             probs_by_id[cid] = probs[s, r, c]
-            if args.rank_file:
+            if ranks is not None:
                 rank_by_id[cid] = float(ranks[s, r, c])
             sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
                          AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
+
+    # dispatch-ahead pipeline (see icl/cli/relation.py): overlap the
+    # host↔device roundtrip with the next batch's compute
+    pending = None
+    for b in batcher.batches(ds):
+        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                         rt.mesh)
+        logits_dev = logits_fn(state.params, table, jb)
+        dev_probs = jax.nn.softmax(logits_dev, axis=-1)
+        dev_ranks = (rank_fn(logits_dev, jb["box_valid"])
+                     if args.rank_file else None)
+        if pending is not None:
+            _consume(*pending)
+        pending = (b, dev_probs, dev_ranks)
+    if pending is not None:
+        _consume(*pending)
     if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity

@@ -123,15 +123,29 @@ def main(argv=None) -> None:
     predict = make_relation_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
     sd = ScoreDict(labels=list(RELATION_CLASSES))
-    for b in batcher.batches(ds):
-        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                         rt.mesh)
-        probs = np.asarray(predict(state.params, table, jb))
+
+    def _consume(b, dev_probs):
+        probs = np.asarray(dev_probs)
         labels = b.arrays["pair_label"]
         for (s, pi, pid) in b.id_index:
             probs_by_id[pid] = probs[s, pi]
             sd.increment(RELATION_CLASSES[int(labels[s, pi])],
                          RELATION_CLASSES[int(probs[s, pi].argmax())])
+
+    # dispatch-ahead pipeline: the next batch's predict is enqueued before
+    # the previous result is pulled to host, so the host↔device roundtrip
+    # (≈30 ms through a relay) overlaps device compute instead of
+    # serializing with it
+    pending = None
+    for b in batcher.batches(ds):
+        jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
+                         rt.mesh)
+        dev = predict(state.params, table, jb)
+        if pending is not None:
+            _consume(*pending)
+        pending = (b, dev)
+    if pending is not None:
+        _consume(*pending)
     if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity
