@@ -101,6 +101,16 @@ def main(argv=None) -> None:
         step = make_affinity_train_step()
 
         def make_batches(epoch_rng, skip=0):
+            if jax.process_count() > 1:
+                # multi-host input sharding: this host pads ONLY the rows
+                # its devices hold; the schedule stays globally agreed
+                # (rng-deterministic), so hosts stay in lockstep
+                from icl.dist.mesh import local_data_rows, shard_batch_local
+                rows = local_data_rows(rt.mesh, ipb)
+                for b in batcher.batches(ds, rng=epoch_rng, skip=skip,
+                                         host_rows=rows):
+                    yield (shard_batch_local(b.arrays, rt.mesh, ipb),)
+                return
             for b in batcher.batches(ds, rng=epoch_rng, skip=skip):
                 jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
                 yield (shard_batch(jb, rt.mesh),)

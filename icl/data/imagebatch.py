@@ -69,10 +69,16 @@ class RelationBatcher:
 
     def batches(self, ds: RelationDataset,
                 rng: np.random.Generator | None = None,
-                skip: int = 0) -> Iterator[ImageBatch]:
+                skip: int = 0,
+                host_rows: tuple[int, int] | None = None) -> Iterator[ImageBatch]:
         """Yield padded batches; ``skip`` drops the first N batches of the
         (rng-deterministic) schedule WITHOUT building them — resume never
-        redoes the host-side padding work for already-trained batches."""
+        redoes the host-side padding work for already-trained batches.
+
+        ``host_rows=(lo, hi)``: multi-host input sharding — build only the
+        batch rows this process's devices hold (icl.dist.mesh.local_data_rows)
+        and feed them via shard_batch_local; the schedule itself stays
+        global and rng-deterministic, so every host agrees on it."""
         by_shape: dict[tuple, list[RelationImage]] = {}
         for im in ds.images:
             by_shape.setdefault(self.shape_of(im), []).append(im)
@@ -86,11 +92,14 @@ class RelationBatcher:
         if rng is not None:
             rng.shuffle(schedule)
         for key, group in schedule[skip:]:
-            yield self._pad(key, group)
+            yield self._pad(key, group, host_rows)
 
-    def _pad(self, key: tuple, group: list[RelationImage]) -> ImageBatch:
+    def _pad(self, key: tuple, group: list[RelationImage],
+             host_rows: tuple[int, int] | None = None) -> ImageBatch:
         L, M, P, C = key
-        I = self.ipb
+        lo, hi = host_rows if host_rows is not None else (0, self.ipb)
+        group = group[lo:hi]
+        I = hi - lo
         a = {
             "tokens": np.zeros((I, C, L), np.int32),
             "tok_len": np.zeros((I, C), np.int32),
@@ -142,10 +151,12 @@ class AffinityBatcher:
 
     def batches(self, ds: AffinityDataset,
                 rng: np.random.Generator | None = None,
-                skip: int = 0) -> Iterator[ImageBatch]:
+                skip: int = 0,
+                host_rows: tuple[int, int] | None = None) -> Iterator[ImageBatch]:
         """Like RelationBatcher.batches: ``skip`` drops already-trained
         batches without building them (and, with lazy mmap box views,
-        without touching their feature bytes at all)."""
+        without touching their feature bytes at all); ``host_rows`` builds
+        only this process's slice (see RelationBatcher)."""
         by_shape: dict[tuple, list[AffinityImage]] = {}
         for im in ds.images:
             by_shape.setdefault(self.shape_of(im), []).append(im)
@@ -160,11 +171,14 @@ class AffinityBatcher:
             rng.shuffle(schedule)
         D = ds.box_dim
         for key, group in schedule[skip:]:
-            yield self._pad(key, group, D)
+            yield self._pad(key, group, D, host_rows)
 
-    def _pad(self, key: tuple, group: list[AffinityImage], D: int) -> ImageBatch:
+    def _pad(self, key: tuple, group: list[AffinityImage], D: int,
+             host_rows: tuple[int, int] | None = None) -> ImageBatch:
         M, B = key
-        I, L = self.ipb, self.L
+        lo, hi = host_rows if host_rows is not None else (0, self.ipb)
+        group = group[lo:hi]
+        I, L = hi - lo, self.L
         a = {
             "phrase_tokens": np.zeros((I, M, L), np.int32),
             "phrase_len": np.zeros((I, M), np.int32),

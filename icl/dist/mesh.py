@@ -74,3 +74,43 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, tree)
+
+
+def local_data_rows(mesh: Mesh, global_rows: int) -> tuple[int, int]:
+    """Contiguous [lo, hi) global-batch rows owned by THIS process.
+
+    Multi-host input sharding (the pod config's "each host feeds its local
+    shard"): instead of every host materializing the full global batch and
+    letting ``jax.device_put`` take its shards, each host pads/loads only
+    the rows its own devices hold.  Requires the process's data-axis
+    devices to be contiguous (true for ``build_mesh`` over ``jax.devices()``,
+    which orders devices by process).
+    """
+    d = mesh.shape[DATA_AXIS]
+    if global_rows % d:
+        raise ValueError(f"global batch {global_rows} not divisible by "
+                         f"data axis {d}")
+    per = global_rows // d
+    mine = [i for i in range(d)
+            if mesh.devices[i, 0].process_index == jax.process_index()]
+    if mine != list(range(mine[0], mine[0] + len(mine))):
+        raise ValueError("process's data-axis devices are not contiguous; "
+                         "feed globally via shard_batch instead")
+    return mine[0] * per, (mine[-1] + 1) * per
+
+
+def shard_batch_local(local_batch: Any, mesh: Mesh, global_rows: int) -> Any:
+    """Assemble a globally-sharded batch from THIS process's local rows.
+
+    ``local_batch`` holds only the [lo, hi) rows from
+    :func:`local_data_rows`; every process contributes its slice and the
+    result is identical to ``shard_batch`` over the full global arrays —
+    without any host ever materializing them (SURVEY §3.4 pod-scale note).
+    """
+    def put(x):
+        x = np.asarray(x)
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x, (global_rows, *x.shape[1:]))
+
+    return jax.tree.map(put, local_batch)

@@ -6,7 +6,9 @@ train the nonvisual FFNN 5 DP steps on a deterministic synthetic batch, and
 dump the final (replicated) params to ``<out>/params_<pid>.npz``.
 
 Usage: python _mp_worker.py <process_id> <num_processes> <port> <out_dir> [model]
-(model: "nonvisual" — FFNN — or "relation" — BiLSTM + fused-head path)
+(model: "nonvisual" — FFNN; "relation" — BiLSTM, globally-fed batches;
+"relation-local" — BiLSTM with multi-host INPUT sharding: each process
+builds only its local batch rows and feeds via shard_batch_local)
 """
 
 import os
@@ -64,13 +66,21 @@ def main():
     assert jax.process_count() == nproc
 
     import jax.numpy as jnp
-    if which == "relation":
+    if which.startswith("relation"):
+        from icl.dist.mesh import local_data_rows, shard_batch_local
         table_h, batch = synth_relation()
         model = RelationModel(lstm_hidden=6, head_hidden=12)
         st = create_train_state(model, (jnp.asarray(table_h), batch), seed=5)
         st = replicate(st, rt.mesh)
         table = replicate(jnp.asarray(table_h), rt.mesh)
-        sbatch = shard_batch(batch, rt.mesh)
+        if which == "relation-local":
+            # each process holds ONLY its local rows — the other rows are
+            # never materialized on this host
+            lo, hi = local_data_rows(rt.mesh, 8)
+            local = {k: np.asarray(v)[lo:hi] for k, v in batch.items()}
+            sbatch = shard_batch_local(local, rt.mesh, 8)
+        else:
+            sbatch = shard_batch(batch, rt.mesh)
         step = make_relation_train_step(class_weights=[0.3, 1, 1, 1],
                                         donate=False)
         for _ in range(3):

@@ -71,7 +71,8 @@ def _single_process_reference(which="nonvisual"):
             jax.tree_util.tree_flatten_with_path(st.params)[0]}
 
 
-@pytest.mark.parametrize("which", ["nonvisual", "relation"])
+@pytest.mark.parametrize("which", ["nonvisual", "relation",
+                                   "relation-local"])
 def test_two_process_dp_matches_single_process(tmp_path, which):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -85,7 +86,8 @@ def test_two_process_dp_matches_single_process(tmp_path, which):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
-    ref = _single_process_reference(which)
+    ref = _single_process_reference(
+        "relation" if which.startswith("relation") else which)
     runs = [dict(np.load(tmp_path / f"params_{pid}.npz")) for pid in range(2)]
     # both processes hold identical replicated params...
     for k in ref:
