@@ -98,7 +98,7 @@ def main(argv=None) -> None:
     model_dir = default_model_dir(args, "affinity")
 
     if args.train:
-        step = make_affinity_train_step()
+        step = make_affinity_train_step(grid_loss=model.fused)
 
         def make_batches(epoch_rng, skip=0):
             if jax.process_count() > 1:

@@ -93,7 +93,8 @@ def main(argv=None) -> None:
 
     if args.train:
         step = make_relation_train_step(
-            class_weights=[args.null_weight, 1.0, 1.0, 1.0])
+            class_weights=[args.null_weight, 1.0, 1.0, 1.0],
+            grid_loss=model.fused)
 
         def make_batches(epoch_rng, skip=0):
             if jax.process_count() > 1:

@@ -16,6 +16,8 @@ relation batch arrays (I images per batch)::
     pair_ij    int32[I, P, 2]    mention-row index pairs
     pair_label int32[I, P]
     pair_valid bool [I, P]
+    grid_label int32[I, M, M]    pair labels in grid form (train grid-loss)
+    grid_valid bool [I, M, M]
     img_valid  bool [I]
 
 affinity batch arrays::
@@ -110,6 +112,11 @@ class RelationBatcher:
             "pair_ij": np.zeros((I, P, 2), np.int32),
             "pair_label": np.zeros((I, P), np.int32),
             "pair_valid": np.zeros((I, P), bool),
+            # pair labels in M×M grid form, built here (free on the host)
+            # so the grid-loss train step needs no device scatter; cells
+            # not covered by a valid pair stay (label 0, valid False)
+            "grid_label": np.zeros((I, M, M), np.int32),
+            "grid_valid": np.zeros((I, M, M), bool),
             "img_valid": np.zeros((I,), bool),
         }
         id_index: list[tuple[int, int, str]] = []
@@ -127,6 +134,11 @@ class RelationBatcher:
             a["pair_ij"][s, :p] = im.pair_ij[:p]
             a["pair_label"][s, :p] = im.pair_label[:p]
             a["pair_valid"][s, :p] = True
+            ij = np.asarray(im.pair_ij[:p], np.int32)
+            lab = np.asarray(im.pair_label[:p], np.int32)
+            ok = (ij[:, 0] < M) & (ij[:, 1] < M) if p else np.zeros(0, bool)
+            a["grid_label"][s, ij[ok, 0], ij[ok, 1]] = lab[ok]
+            a["grid_valid"][s, ij[ok, 0], ij[ok, 1]] = True
             a["img_valid"][s] = True
             id_index.extend((s, k, pid) for k, pid in enumerate(im.pair_ids[:p]))
         return ImageBatch(arrays=a, id_index=id_index, shape_key=key)

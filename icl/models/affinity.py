@@ -46,7 +46,7 @@ class AffinityModel(nn.Module):
 
     @nn.compact
     def __call__(self, emb_table: jnp.ndarray, batch: dict,
-                 deterministic: bool = True):
+                 deterministic: bool = True, loss_grid: tuple | None = None):
         toks = batch["phrase_tokens"]       # [I, M, L]
         plen = batch["phrase_len"]          # [I, M]
         boxes = batch["box_feats"]          # [I, B, D]
@@ -77,25 +77,46 @@ class AffinityModel(nn.Module):
         p_proj = phrase @ Wp                                      # [I,M,K]
         b_proj = boxes @ Wb                                       # [I,B,K]
 
+        import jax
+
         if self.fused:
             # K2: grid add+relu+head GEMM in VMEM — the [I,M,B,K] activation
             # never reaches HBM; in training the custom-VJP kernel applies
             # dropout via the in-kernel Mosaic PRNG (per-image seeds → DP
             # reproduces single-device masks) and recomputes on backward
             if deterministic:
-                return fused_grid_head(p_proj, b_proj, bp, W2, b2)
-            from icl.ops.grid_head_train import grid_head_train
-            import jax
+                grid = fused_grid_head(p_proj, b_proj, bp, W2, b2)
+                if loss_grid is not None:
+                    from icl.ops.grid_head_train import grid_ce_sums
+                    labels, weights = loss_grid
+                    return grid_ce_sums(grid, labels,
+                                        jax.lax.stop_gradient(weights))
+                return grid
+            from icl.ops.grid_head_train import (grid_head_train,
+                                                 grid_head_train_loss)
             seeds = jax.random.randint(
                 self.make_rng("dropout"), (I,), 0,
                 jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             exact = jax.config.jax_default_matmul_precision == "highest"
+            if loss_grid is not None:
+                # training-loss mode: CE fused into the kernel (scalars out)
+                labels, weights = loss_grid
+                return grid_head_train_loss(
+                    p_proj, b_proj, bp, W2, b2, seeds, labels,
+                    jax.lax.stop_gradient(weights), float(self.dropout),
+                    exact)
             return grid_head_train(p_proj, b_proj, bp, W2, b2, seeds,
                                    float(self.dropout), exact)   # [I,M,B,O]
 
         h = nn.relu(p_proj[:, :, None, :] + b_proj[:, None, :, :] + bp)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return h @ W2 + b2                                        # [I,M,B,2]
+        logits = h @ W2 + b2                                      # [I,M,B,2]
+        if loss_grid is not None:
+            from icl.ops.grid_head_train import grid_ce_sums
+            labels, weights = loss_grid
+            return grid_ce_sums(logits, labels,
+                                jax.lax.stop_gradient(weights))
+        return logits
 
 
 def rank_boxes(logits: jnp.ndarray, box_valid: jnp.ndarray) -> jnp.ndarray:

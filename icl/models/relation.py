@@ -20,6 +20,7 @@ path here is its permanent XLA correctness oracle.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from icl.data.pairs import RELATION_CLASSES
@@ -89,9 +90,10 @@ class RelationModel(nn.Module):
 
     @nn.compact
     def __call__(self, emb_table: jnp.ndarray, batch: dict,
-                 deterministic: bool = True):
+                 deterministic: bool = True, loss_grid: tuple | None = None):
         from icl.models._dense import DenseParams
         from icl.ops.grid_head import fused_grid_head
+        from icl.ops.grid_head_train import grid_ce_sums
 
         tokens = batch["tokens"]          # [I, C, L]
         tok_len = batch["tok_len"]        # [I, C]
@@ -119,19 +121,40 @@ class RelationModel(nn.Module):
         if self.fused:
             if deterministic:
                 grid = fused_grid_head(proj_i, proj_j, b1, W2, b2)
+                if loss_grid is not None:
+                    labels, weights = loss_grid
+                    return grid_ce_sums(grid, labels,
+                                        jax.lax.stop_gradient(weights))
             else:
-                from icl.ops.grid_head_train import grid_head_train
-                import jax
+                from icl.ops.grid_head_train import (grid_head_train,
+                                                     grid_head_train_loss)
                 seeds = jax.random.randint(
                     self.make_rng("dropout"), (I,), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
                 # backward dots follow the session precision policy: exact
                 # under 'highest' (parity/tests), one-pass bf16 otherwise
                 exact = jax.config.jax_default_matmul_precision == "highest"
+                if loss_grid is not None:
+                    # training-loss mode: CE fused into the kernel — only
+                    # (Σ ce·w, Σ hits, Σ valid) scalars leave VMEM
+                    labels, weights = loss_grid
+                    return grid_head_train_loss(
+                        proj_i, proj_j, b1, W2, b2, seeds, labels,
+                        jax.lax.stop_gradient(weights),
+                        float(self.dropout), exact)
                 grid = grid_head_train(proj_i, proj_j, b1, W2, b2,
                                        seeds, float(self.dropout), exact)
             ii = jnp.arange(I, dtype=jnp.int32)[:, None]
             return grid[ii, pair_ij[:, :, 0], pair_ij[:, :, 1]]   # [I,P,O]
+
+        if loss_grid is not None:
+            # XLA oracle for the in-kernel grid loss (materializes the
+            # [I,M,M,hidden] activation — test/CPU scales only)
+            h = nn.relu(proj_i[:, :, None, :] + proj_j[:, None, :, :] + b1)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            labels, weights = loss_grid
+            return grid_ce_sums(h @ W2 + b2, labels,
+                                jax.lax.stop_gradient(weights))
 
         M = mreps.shape[1]
         flat_i = proj_i.reshape(I * M, -1)

@@ -18,7 +18,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from icl.models.nonvisual import mean_pool_tokens
 from icl.train.state import TrainState
@@ -28,11 +27,24 @@ def masked_weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                        valid: jnp.ndarray,
                        class_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mean CE over valid entries; optional per-class weights (§6.4 uses
-    class-weighted CE because ~90% of relation pairs are null)."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    class-weighted CE because ~90% of relation pairs are null).
+
+    TPU note: formulated through a one-hot product rather than
+    ``take_along_axis`` — label gathers lower to TPU gather ops that cost
+    more than the whole CE (measured 0.16 ms/step on the relation train
+    trace); ``one_hot`` over a 2–12 class axis fuses to an iota-compare.
+    Math is identical to ``optax.softmax_cross_entropy_with_integer_labels``
+    (same max-shift stabilization); out-of-range labels at padded positions
+    produce a zero one-hot row and are masked by ``valid`` anyway.
+    """
+    lmax = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    shifted = logits - lmax
+    logz = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    ce = logz - jnp.sum(shifted * onehot, axis=-1)
     w = valid.astype(ce.dtype)
     if class_weights is not None:
-        w = w * jnp.take(class_weights, labels)
+        w = w * jnp.sum(onehot * class_weights, axis=-1)
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -79,11 +91,75 @@ def make_mention_predict(apply_fn) -> Callable:
 # Relation: image-centric batches (SURVEY §4.1 target)
 # ---------------------------------------------------------------------------
 
-def make_relation_train_step(class_weights=None, donate: bool = True) -> Callable:
+def _cell_weights(labels, valid, cw):
+    """``valid · class_weight[label]`` without a gather: the class count is
+    a small static constant, so unrolled selects beat a TPU gather op."""
+    w = valid.astype(jnp.float32)
+    if cw is None:
+        return w
+    sel = jnp.zeros(labels.shape, jnp.float32)
+    for k in range(cw.shape[0]):
+        sel = jnp.where(labels == k, cw[k], sel)
+    return w * sel
+
+
+def _grid_loss_step(state, emb_table, batch, labels, weights, drng):
+    """Shared grid-loss core: model returns (Σ ce·w, Σ hits, Σ valid) —
+    on the fused TPU path via ``grid_head_train_loss`` (logits never reach
+    HBM), elsewhere via the ``grid_ce_sums`` XLA oracle.  Loss/acc values
+    reproduce ``masked_weighted_ce``/``_accuracy`` over the same cells."""
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+
+    def loss_fn(params):
+        loss_sum, hits, nval = state.apply_fn(
+            {"params": params}, emb_table, batch, deterministic=False,
+            rngs={"dropout": drng}, loss_grid=(labels, weights))
+        return loss_sum / wsum, (hits, nval)
+
+    (loss, (hits, nval)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    return new_state, {"loss": loss, "acc": hits / jnp.maximum(nval, 1.0)}
+
+
+def make_relation_train_step(class_weights=None, donate: bool = True,
+                             grid_loss: bool = False) -> Callable:
+    """``grid_loss=True`` (the fused-TPU production mode) computes the CE
+    over the model's full M×M logit grid instead of gathered pair cells:
+    pair labels/weights are scattered into grid form ONCE per step —
+    *outside* ``value_and_grad`` — and the CE itself runs inside the
+    grid-head kernel (``grid_head_train_loss``), so neither the grid→pair
+    gather, its scatter transpose, nor the logits themselves ever touch
+    HBM.  The loss value is identical to the pair form: valid grid cells
+    are exactly the valid pairs (scatter adds are duplicate-free because
+    the pair list enumerates distinct i<j cells; padded pairs contribute
+    zero weight)."""
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, emb_table, batch):
         drng = state.step_rng()
+
+        if grid_loss:
+            if "grid_label" in batch:
+                # production pipeline: grid form built on the host
+                # (icl.data.imagebatch) — no device scatter at all
+                glabel, gvalid = batch["grid_label"], batch["grid_valid"]
+            else:
+                # fallback for pair-only batches: scatter once per step
+                # (duplicate-free: the pair list enumerates distinct cells)
+                pij, pv = batch["pair_ij"], batch["pair_valid"]
+                I = pv.shape[0]
+                Mm = batch["m_cap"].shape[1]
+                ii = jnp.arange(I, dtype=jnp.int32)[:, None]
+                glabel = jnp.zeros((I, Mm, Mm), jnp.int32).at[
+                    ii, pij[:, :, 0], pij[:, :, 1]].add(
+                        jnp.where(pv, batch["pair_label"], 0))
+                gvalid = jnp.zeros((I, Mm, Mm), jnp.int32).at[
+                    ii, pij[:, :, 0], pij[:, :, 1]].add(
+                        pv.astype(jnp.int32)) > 0
+            gweight = _cell_weights(glabel, gvalid, cw)
+            return _grid_loss_step(state, emb_table, batch, glabel, gweight,
+                                   drng)
 
         def loss_fn(params):
             logits = state.apply_fn({"params": params}, emb_table, batch,
@@ -96,7 +172,8 @@ def make_relation_train_step(class_weights=None, donate: bool = True) -> Callabl
         new_state = state.apply_gradients(grads)
         return new_state, {
             "loss": loss,
-            "acc": _accuracy(logits, batch["pair_label"], batch["pair_valid"]),
+            "acc": _accuracy(logits, batch["pair_label"],
+                             batch["pair_valid"]),
         }
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -115,11 +192,21 @@ def make_relation_predict(apply_fn) -> Callable:
 # Affinity: image-grid batches (SURVEY §4.3 target)
 # ---------------------------------------------------------------------------
 
-def make_affinity_train_step(class_weights=None, donate: bool = True) -> Callable:
+def make_affinity_train_step(class_weights=None, donate: bool = True,
+                             grid_loss: bool = False) -> Callable:
+    """``grid_loss=True``: affinity labels are already grid-shaped, so the
+    in-kernel CE (see make_relation_train_step) applies directly — no
+    scatter needed."""
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, emb_table, batch):
         drng = state.step_rng()
+
+        if grid_loss:
+            gweight = _cell_weights(batch["grid_label"],
+                                    batch["grid_valid"], cw)
+            return _grid_loss_step(state, emb_table, batch,
+                                   batch["grid_label"], gweight, drng)
 
         def loss_fn(params):
             logits = state.apply_fn({"params": params}, emb_table, batch,

@@ -161,6 +161,56 @@ def test_grid_head_train_kernel_on_tpu():
         assert abs(lin - dot) / max(abs(lin), 1e-9) < 1e-3, (lin, dot)
 
 
+def test_grid_head_train_loss_kernel_on_tpu():
+    """In-kernel CE with real Mosaic dropout: because grid_head_train and
+    grid_head_train_loss regenerate the SAME per-(image, tile) PRNG masks
+    from the same seeds, the loss kernel must equal grid_ce_sums over the
+    materialized grid at ANY rate — forward and every gradient."""
+    _require_tpu()
+    from icl.ops.grid_head_train import (grid_ce_sums, grid_head_train,
+                                         grid_head_train_loss)
+
+    rng = np.random.default_rng(5)
+    G, A, B, K, O = 4, 16, 24, 256, 4
+    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32) * 0.3)
+    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, size=(G,)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, O, size=(G, A, B)), jnp.int32)
+    weights = jnp.asarray(
+        (rng.random(size=(G, A, B)) > 0.25).astype(np.float32)
+        * rng.choice([0.3, 1.0], size=(G, A, B)))
+
+    with _highest_precision():
+        for rate in (0.0, 0.5):
+            out = grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels,
+                                       weights, rate, True)
+            ref = grid_ce_sums(
+                grid_head_train(X, Y, b1, W2, b2, seeds, rate, True),
+                labels, weights)
+            for name, a, b in zip(["loss_sum", "hits", "nvalid"], out, ref):
+                np.testing.assert_allclose(float(a), float(b), rtol=1e-5,
+                                           err_msg=f"{name}@rate={rate}")
+
+            def lk(*p, _r=rate):
+                return grid_head_train_loss(*p, seeds, labels, weights,
+                                            _r, True)[0]
+
+            def lo(*p, _r=rate):
+                return grid_ce_sums(grid_head_train(*p, seeds, _r, True),
+                                    labels, weights)[0]
+
+            gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+            go = jax.grad(lo, argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+            for name, a, b in zip(["dX", "dY", "db1", "dW2", "db2"], gk, go):
+                scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-4 * scale,
+                    rtol=1e-3, err_msg=f"{name}@rate={rate}")
+
+
 def test_fused_train_step_on_tpu(tmp_path):
     """One fused (grid-kernel) train step per grid model on real data:
     finite loss, and at dropout=0 the fused step's gradients match the

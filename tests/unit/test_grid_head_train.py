@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from icl.ops.grid_head import grid_head_reference
-from icl.ops.grid_head_train import grid_head_train
+from icl.ops.grid_head_train import (grid_ce_sums, grid_head_train,
+                                     grid_head_train_loss)
 
 
 @pytest.fixture(scope="module")
@@ -54,6 +55,69 @@ def test_gradients_match_oracle(problem):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4 * scale, rtol=1e-4,
                                    err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def loss_cells(problem):
+    X, Y, *_ = problem
+    rng = np.random.default_rng(11)
+    G, A, _ = X.shape
+    B = Y.shape[1]
+    labels = jnp.asarray(rng.integers(0, 4, size=(G, A, B)), jnp.int32)
+    weights = jnp.asarray(
+        (rng.random(size=(G, A, B)) > 0.25).astype(np.float32)
+        * rng.choice([0.3, 1.0], size=(G, A, B)))
+    return labels, weights
+
+
+def test_loss_kernel_matches_oracle(problem, loss_cells):
+    """In-kernel CE (Σ ce·w, Σ hits, Σ valid) vs grid_ce_sums over the
+    materialized oracle grid — forward and every gradient (rate=0)."""
+    X, Y, b1, W2, b2, seeds, _ = problem
+    labels, weights = loss_cells
+
+    out = grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels, weights,
+                               0.0, True)
+    ref = grid_ce_sums(grid_head_reference(X, Y, b1, W2, b2), labels, weights)
+    for name, a, b in zip(["loss_sum", "hits", "nvalid"], out, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5,
+                                   err_msg=name)
+
+    def loss_kernel(X, Y, b1, W2, b2):
+        return grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels,
+                                    weights, 0.0, True)[0]
+
+    def loss_oracle(X, Y, b1, W2, b2):
+        return grid_ce_sums(grid_head_reference(X, Y, b1, W2, b2), labels,
+                            weights)[0]
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+    for name, a, b in zip(["dX", "dY", "db1", "dW2", "db2"], gk, go):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=1e-4,
+                                   err_msg=name)
+
+
+def test_loss_kernel_zero_weight_cells_are_inert(problem, loss_cells):
+    """Cells with weight 0 contribute nothing to loss, hits, count, or
+    gradients (padding/diagonal/missing-pair cells ride this)."""
+    X, Y, b1, W2, b2, seeds, _ = problem
+    labels, weights = loss_cells
+    # poison the labels wherever weight == 0 — results must not move
+    poisoned = jnp.where(weights > 0, labels, 3)
+    a = grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels, weights,
+                             0.0, True)
+    b = grid_head_train_loss(X, Y, b1, W2, b2, seeds, poisoned, weights,
+                             0.0, True)
+    for x, y in zip(a, b):
+        assert float(x) == float(y)
+    ga = jax.grad(lambda X: grid_head_train_loss(
+        X, Y, b1, W2, b2, seeds, labels, weights, 0.0, True)[0])(X)
+    gb = jax.grad(lambda X: grid_head_train_loss(
+        X, Y, b1, W2, b2, seeds, poisoned, weights, 0.0, True)[0])(X)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
 
 
 def test_value_and_grad_under_jit(problem):

@@ -86,3 +86,63 @@ def test_padded_rows_do_not_change_gradients(synth_dir, emb):
     stB, _ = step(st0, table, tok_b, ln_b, lb_b, valid_b)
     for a, b in zip(jax.tree.leaves(stA.params), jax.tree.leaves(stB.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grid_loss_step_matches_pair_step(synth_dir, emb):
+    """The grid-loss train step (in-kernel CE on TPU; grid_ce_sums oracle
+    here) reproduces the pair-form step: same loss, acc, and parameter
+    updates — via the host-built grid arrays AND the scatter fallback
+    (which must agree bitwise with each other)."""
+    ds = load_relation_dataset(synth_dir, "train", emb)
+    b = next(iter(RelationBatcher(images_per_batch=4).batches(ds)))
+    jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+    assert "grid_label" in jb and "grid_valid" in jb
+    table = jnp.asarray(emb.table)
+    for fused in (False, True):
+        model = RelationModel(lstm_hidden=12, head_hidden=24, dropout=0.0,
+                              fused=fused)
+        st = create_train_state(model, (table, jb), seed=0)
+        cw = [0.3, 1.0, 1.0, 1.0]
+        s_pair = make_relation_train_step(class_weights=cw, donate=False)
+        s_grid = make_relation_train_step(class_weights=cw, donate=False,
+                                          grid_loss=True)
+        st1, m1 = s_pair(st, table, jb)
+        st2, m2 = s_grid(st, table, jb)                    # host-built grid
+        nb = {k: v for k, v in jb.items()
+              if k not in ("grid_label", "grid_valid")}
+        st3, m3 = s_grid(st, table, nb)                    # scatter fallback
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(m1["acc"]), float(m2["acc"]),
+                                   rtol=1e-6)
+        for a, b2, c in zip(jax.tree.leaves(st1.params),
+                            jax.tree.leaves(st2.params),
+                            jax.tree.leaves(st3.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=3e-5)
+            np.testing.assert_array_equal(np.asarray(b2), np.asarray(c))
+
+
+def test_affinity_grid_loss_step_matches(synth_dir, emb):
+    """Affinity grid-loss step ≡ the masked_weighted_ce step (labels are
+    already grid-shaped — no scatter involved)."""
+    ds = load_affinity_dataset(synth_dir, "train", emb)
+    b = next(iter(AffinityBatcher(images_per_batch=4).batches(ds)))
+    jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+    table = jnp.asarray(emb.table)
+    for fused in (False, True):
+        model = AffinityModel(lstm_hidden=12, head_hidden=32, dropout=0.0,
+                              fused=fused)
+        st = create_train_state(model, (table, jb), seed=0)
+        s0 = make_affinity_train_step(donate=False)
+        s1 = make_affinity_train_step(donate=False, grid_loss=True)
+        st1, m1 = s0(st, table, jb)
+        st2, m2 = s1(st, table, jb)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(m1["acc"]), float(m2["acc"]),
+                                   rtol=1e-6)
+        for a, b2 in zip(jax.tree.leaves(st1.params),
+                         jax.tree.leaves(st2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=3e-5)
