@@ -443,7 +443,22 @@ def main():
                 "host-gridded labels | logits/probs never reach HBM; XLA "
                 "grid-CE ran at 4/128-lane utilization (0.43 ms/step) and "
                 "label scatters cost 0.24 ms/step — train step 2.62 -> "
-                "2.34 ms, relation train +22%, affinity train +63% |\n\n"
+                "2.34 ms, relation train +22%, affinity train +63% |\n"
+                "| [r2] flat transposed [O,N] CE layout (single-tile "
+                "images) + b1 pre-folded into X | CE ops go from ~32 "
+                "O-minor vregs to ~2 fully-laned vregs per op; labels "
+                "arrive pre-flattened from XLA (in-kernel (Ta,Tb)->(1,N) "
+                "would be a sublane->lane relayout) — fwd loss kernel "
+                "0.172 -> 0.100 ms, step 2.35 -> 2.24 ms |\n"
+                "| [r2] BiLSTM outputs stay in compute_dtype; mention/"
+                "final-state gathers run in bf16 and promote AFTER | kills "
+                "~0.1 ms/step of [B,L,2H] f32 convert traffic; step 2.24 "
+                "-> 2.15 ms |\n"
+                "| [r2] bf16 elementwise grid math | negative result #3: "
+                "Mosaic packed-bf16 cmpf (even relu) fails to lower and "
+                "the i1 mask can't relayout to (16,128) tiling; VPU width "
+                "wasn't the bottleneck anyway (see grid_head_train._cd) |"
+                "\n\n"
                 "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "
                 "stacked batches inside one jit call and forced by a scalar "

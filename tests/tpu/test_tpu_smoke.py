@@ -312,3 +312,58 @@ def test_one_train_step_per_model_on_tpu(tmp_path):
     ast = create_train_state(amodel, (table, jab), seed=0)
     ast, m = make_affinity_train_step()(ast, table, jab)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_grid_head_train_nonexact_path_on_tpu():
+    """Production (exact=False) kernels: f32 elementwise + one-pass-bf16
+    MXU dots + pre-folded b1 (full-bf16 elementwise is negative result #3 —
+    see icl.ops.grid_head_train._cd).  Gate both train kernels against the
+    exact-f32 path at bf16-dot tolerances, with real Mosaic dropout checked
+    for mask agreement between the loss kernel and grid_head_train (same
+    seeds → bit-identical masks across head-dot precisions)."""
+    _require_tpu()
+    from icl.ops.grid_head_train import (grid_ce_sums, grid_head_train,
+                                         grid_head_train_loss)
+
+    rng = np.random.default_rng(17)
+    G, A, B, K, O = 4, 16, 24, 256, 4
+    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32) * 0.3)
+    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, size=(G,)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, O, size=(G, A, B)), jnp.int32)
+    weights = jnp.asarray(
+        (rng.random(size=(G, A, B)) > 0.25).astype(np.float32))
+
+    # forward grid: bf16 vs exact-f32 kernel (rate=0 → deterministic)
+    out_bf = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0, False)
+    out_f32 = grid_head_train(X, Y, b1, W2, b2, seeds, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_f32),
+                               atol=0.05, rtol=0.02)
+
+    for rate in (0.0, 0.5):
+        # loss kernel bf16 vs the SAME-masks bf16 grid kernel + XLA CE:
+        # mask agreement is exact, so only head-dot rounding differs
+        lbf = grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels,
+                                   weights, rate, False)
+        lref = grid_ce_sums(
+            grid_head_train(X, Y, b1, W2, b2, seeds, rate, False),
+            labels, weights)
+        np.testing.assert_allclose(float(lbf[0]), float(lref[0]),
+                                   rtol=5e-3, err_msg=f"loss@rate={rate}")
+        assert float(lbf[2]) == float(lref[2])  # nvalid is precision-free
+
+        gk = jax.grad(lambda *p, _r=rate: grid_head_train_loss(
+            *p, seeds, labels, weights, _r, False)[0],
+            argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+        go = jax.grad(lambda *p, _r=rate: grid_ce_sums(
+            grid_head_train(*p, seeds, _r, False),
+            labels, weights)[0],
+            argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+        for name, a, b in zip(["dX", "dY", "db1", "dW2", "db2"], gk, go):
+            scale = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=0.03 * scale, rtol=0.05,
+                err_msg=f"{name}@rate={rate}")

@@ -133,3 +133,38 @@ def test_value_and_grad_under_jit(problem):
     val, grads = jax.value_and_grad(f)((X, W2))
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+def test_loss_kernel_multitile_matches_oracle():
+    """Dims that span several [Ta,Tb] tiles take the general (non-flat)
+    loss kernels — same oracle gate as the single-tile fast path."""
+    rng = np.random.default_rng(23)
+    G, A, B, K, O = 2, 40, 70, 128, 4
+    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32) * 0.3)
+    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    seeds = jnp.asarray(rng.integers(0, 2**31 - 1, size=(G,)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, O, size=(G, A, B)), jnp.int32)
+    weights = jnp.asarray(
+        (rng.random(size=(G, A, B)) > 0.25).astype(np.float32))
+
+    out = grid_head_train_loss(X, Y, b1, W2, b2, seeds, labels, weights,
+                               0.0, True)
+    ref = grid_ce_sums(grid_head_reference(X, Y, b1, W2, b2), labels, weights)
+    for name, a, b in zip(["loss_sum", "hits", "nvalid"], out, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5,
+                                   err_msg=name)
+
+    gk = jax.grad(lambda *p: grid_head_train_loss(
+        *p, seeds, labels, weights, 0.0, True)[0],
+        argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+    go = jax.grad(lambda *p: grid_ce_sums(
+        grid_head_reference(*p), labels, weights)[0],
+        argnums=(0, 1, 2, 3, 4))(X, Y, b1, W2, b2)
+    for name, a, b in zip(["dX", "dY", "db1", "dW2", "db2"], gk, go):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=1e-4,
+                                   err_msg=name)
