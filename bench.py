@@ -458,7 +458,12 @@ def main():
                 "Mosaic packed-bf16 cmpf (even relu) fails to lower and "
                 "the i1 mask can't relayout to (16,128) tiling; VPU width "
                 "wasn't the bottleneck anyway (see grid_head_train._cd) |"
-                "\n\n"
+                "\n"
+                "| [r2] flat transposed-output PREDICT kernel "
+                "(single-tile images, <=4MB activation) + b1 folded into "
+                "X | the head dot's O-minor output wasted 124/128 MXU "
+                "lanes; grid_head_pallas 0.261 -> 0.132 ms/call, predict "
+                "headline 9.4 -> 10.5M pairs/s |\n\n"
                 "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "
                 "stacked batches inside one jit call and forced by a scalar "

@@ -44,17 +44,41 @@ def grid_head_reference(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     return jnp.einsum("gabk,ko->gabo", h, W2) + b2
 
 
-def _kernel(x_ref, y_ref, b1_ref, w2_ref, b2_ref, out_ref):
-    # blocks: x [1,Ta,K] y [1,Tb,K] b1 [K] w2 [K,O] b2 [O] out [1,Ta,Tb,O]
+def _kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
+    # blocks: x [1,Ta,K] (b1 pre-folded by the wrapper) y [1,Tb,K]
+    #         w2 [K,O] b2 [O] out [1,Ta,Tb,O]
     x = x_ref[0]                                  # [Ta, K]
     y = y_ref[0]                                  # [Tb, K]
     Ta, K = x.shape
     Tb = y.shape[0]
-    h = jnp.maximum(x[:, None, :] + y[None, :, :] + b1_ref[:], 0.0)
+    h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
     out = jnp.dot(h.reshape(Ta * Tb, K), w2_ref[:],
                   preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = (out + b2_ref[:]).reshape(Ta, Tb, -1)
+
+
+def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
+    """Single-tile-per-image variant emitting TRANSPOSED [O, A·B] logits.
+
+    Two wins over the tiled kernel (mirrors grid_head_train's flat loss
+    path): the head dot contracts K deep with a fully-laned [O, N] output
+    instead of an O-minor [N, O] one (which wastes 124/128 MXU output
+    lanes at O=4), and the + b2 broadcast runs on ~2 vregs instead of
+    ~N/8 quarter-empty ones.  The wrapper untransposes in XLA (a cheap
+    [G,O,A,B] → [G,A,B,O] copy) to keep the public contract.
+    """
+    x = x_ref[0]                                  # [Ap, K] (b1 folded)
+    y = y_ref[0]                                  # [Bp, K]
+    Ta, K = x.shape
+    Tb = y.shape[0]
+    h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
+    out_t = jax.lax.dot_general(                  # W2ᵀ · hdᵀ : [O, N]
+        w2_ref[:], h.reshape(Ta * Tb, K),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = out_t + b2_ref[:][:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("block_a", "block_b"))
@@ -76,8 +100,39 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     Ta = min(block_a, _round_up(A, 8))
     Tb = min(block_b, _round_up(B, 8))
     Ap, Bp = _round_up(A, Ta), _round_up(B, Tb)
-    Xp = jnp.pad(X, ((0, 0), (0, Ap - A), (0, 0)))
+    # fold b1 into X: one [G,A,K] add replaces a per-cell add in-kernel
+    Xp = jnp.pad(X + b1, ((0, 0), (0, Ap - A), (0, 0)))
     Yp = jnp.pad(Y, ((0, 0), (0, Bp - B), (0, 0)))
+
+    # single-tile-per-image fast path (the production Flickr30k shape):
+    # whole [Ap,Bp,K] activation fits VMEM → transposed-output kernel
+    if Ap * Bp * K * 4 <= 4 * 1024 * 1024:
+        N = Ap * Bp
+        out_t = pl.pallas_call(
+            _flat_kernel,
+            out_shape=jax.ShapeDtypeStruct((G, O, N), jnp.float32),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, Ap, K), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bp, K), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, O), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((O,), lambda g: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, O, N), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * G * N * K * O + G * N * K * 2,
+                bytes_accessed=4 * (G * Ap * K + G * Bp * K + K * O
+                                    + G * N * O),
+                transcendentals=0,
+            ),
+        )(Xp, Yp, W2, b2)
+        out = jnp.transpose(out_t.reshape(G, O, Ap, Bp), (0, 2, 3, 1))
+        return out[:, :A, :B, :]
 
     out = pl.pallas_call(
         _kernel,
@@ -87,8 +142,6 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
             pl.BlockSpec((1, Ta, K), lambda g, i, j: (g, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tb, K), lambda g, i, j: (g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K,), lambda g, i, j: (0,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, O), lambda g, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -103,7 +156,7 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
                                 + G * Ap * Bp * O),
             transcendentals=0,
         ),
-    )(Xp, Yp, b1, W2, b2)
+    )(Xp, Yp, W2, b2)
     return out[:, :A, :B, :]
 
 

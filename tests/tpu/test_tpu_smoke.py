@@ -27,16 +27,19 @@ def test_grid_head_kernel_on_tpu():
     _require_tpu()
     from icl.ops.grid_head import grid_head_pallas, grid_head_reference
     rng = np.random.default_rng(0)
-    G, A, B, K, O = 2, 16, 32, 256, 4
-    X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32))
-    Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32))
-    b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
-    W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32))
-    b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
-    with _highest_precision():
-        out = np.asarray(grid_head_pallas(X, Y, b1, W2, b2))
-        ref = np.asarray(grid_head_reference(X, Y, b1, W2, b2))
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    # first shape takes the flat transposed-output fast path (whole image
+    # in VMEM); second exceeds the 4 MB activation gate → tiled kernel
+    for G, A, B, K, O in [(2, 16, 32, 256, 4), (2, 40, 136, 256, 4)]:
+        X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32))
+        Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+        W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+        with _highest_precision():
+            out = np.asarray(grid_head_pallas(X, Y, b1, W2, b2))
+            ref = np.asarray(grid_head_reference(X, Y, b1, W2, b2))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{(G, A, B, K, O)}")
 
 
 def test_affinity_rank_kernel_on_tpu():
