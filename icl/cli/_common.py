@@ -56,6 +56,17 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "Defaults to 'high' (bf16_3x — parity-grade, "
                         "measured 2.2e-5 vs the oracle, 45%% faster than "
                         "'highest') for --predict and 'default' for --train")
+    p.add_argument("--compute_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="model activation dtype (relation/affinity). bf16 "
+                        "is the throughput mode (~+50%% train/predict; "
+                        "box features also ship to the device as bf16, "
+                        "halving the largest host->device stream) but "
+                        "exceeds the 1e-5 oracle parity gate (max |dp| ~ "
+                        "7e-5) - .scores written under bf16 are "
+                        "throughput-grade, not parity-grade. Params and "
+                        "checkpoints stay f32 either way, so a bf16-"
+                        "trained model can predict in f32 and vice versa")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics_file", default=None)
     p.add_argument("--config", default=None,
@@ -149,6 +160,19 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
     args = p.parse_args(argv)
     args.buckets = buckets
     return args
+
+
+def resolve_compute_dtype(args):
+    """--compute_dtype -> jnp dtype, warning when bf16 scores a predict
+    split (bf16 exceeds the 1e-5 oracle gate - BENCHMARKS.md policy)."""
+    import jax.numpy as jnp
+    if getattr(args, "compute_dtype", "f32") == "bf16":
+        if getattr(args, "predict", False):
+            LOG.warning("bf16 predict exceeds the 1e-5 oracle parity gate "
+                        "(max |dp| ~7e-5); use --compute_dtype f32 for "
+                        "parity-grade .scores")
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def bucket_spec(args, key: str, default):

@@ -49,7 +49,9 @@ def main(argv=None) -> None:
                         "mention, SURVEY §6.5 inference extra) to this path")
     p.add_argument("--phrase_enc", default="lstm",
                    choices=["lstm", "mean_w2v"])
-    from icl.cli._common import apply_precision, bucket_spec, parse_task_args
+    from icl.cli._common import (apply_precision, bucket_spec,
+                                 parse_task_args,
+                                 resolve_compute_dtype)
     args = parse_task_args(p, argv, "affinity")
     apply_precision(args)
     rt = runtime.init(args.mesh, seed=args.seed,
@@ -67,10 +69,17 @@ def main(argv=None) -> None:
     if ipb % ndev:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
+    import jax.numpy as _jnp
+    if resolve_compute_dtype(args) == _jnp.bfloat16:
+        import ml_dtypes
+        box_np_dtype = ml_dtypes.bfloat16
+    else:
+        box_np_dtype = np.float32
     batcher = AffinityBatcher(
         images_per_batch=ipb,
         mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)),
-        box_spec=bucket_spec(args, "boxes_per_image", (8, 16, 32)))
+        box_spec=bucket_spec(args, "boxes_per_image", (8, 16, 32)),
+        box_dtype=box_np_dtype)
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     phrase_enc = args.phrase_enc
     if args.predict:
@@ -88,6 +97,7 @@ def main(argv=None) -> None:
     model = AffinityModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
                           phrase_enc=phrase_enc,
+                          compute_dtype=resolve_compute_dtype(args),
                           fused=use_fused and (bool(args.predict)
                                  or jax.devices()[0].platform == "tpu"
                                  or args.dropout == 0.0))
@@ -128,6 +138,7 @@ def main(argv=None) -> None:
                        "head_hidden": args.head_hidden,
                        "dropout": args.dropout,
                        "phrase_enc": args.phrase_enc,
+                       "compute_dtype": args.compute_dtype,
                        "box_dim": ds.box_dim}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)

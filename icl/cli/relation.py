@@ -46,7 +46,9 @@ def main(argv=None) -> None:
     p.add_argument("--fused", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas grid-head kernel at predict (auto: TPU only)")
-    from icl.cli._common import apply_precision, bucket_spec, parse_task_args
+    from icl.cli._common import (apply_precision, bucket_spec,
+                                 parse_task_args,
+                                 resolve_compute_dtype)
     args = parse_task_args(p, argv, "relation")
     apply_precision(args)
     rt = runtime.init(args.mesh, seed=args.seed,
@@ -82,6 +84,7 @@ def main(argv=None) -> None:
                   and jax.devices()[0].platform == "tpu"))
     model = RelationModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
+                          compute_dtype=resolve_compute_dtype(args),
                           fused=use_fused and (bool(args.predict)
                                  or jax.devices()[0].platform == "tpu"
                                  or args.dropout == 0.0))
@@ -122,7 +125,8 @@ def main(argv=None) -> None:
             json.dump({"task": "relation",
                        "lstm_hidden": args.lstm_hidden_width,
                        "head_hidden": args.head_hidden,
-                       "dropout": args.dropout}, f)
+                       "dropout": args.dropout,
+                       "compute_dtype": args.compute_dtype}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)
         return

@@ -150,11 +150,17 @@ class AffinityBatcher:
     def __init__(self, images_per_batch: int = 8,
                  mention_spec: BucketSpec = BucketSpec((8, 16, 32)),
                  box_spec: BucketSpec = BucketSpec((8, 16, 32)),
-                 phrase_len: int = 16):
+                 phrase_len: int = 16,
+                 box_dtype=np.float32):
         self.ipb = images_per_batch
         self.mention_spec = mention_spec
         self.box_spec = box_spec
         self.L = phrase_len
+        # bf16 training ships fc7 features to the device half-width: the
+        # [I,B,4096] box block is the largest host->device stream of the
+        # whole framework (ml_dtypes.bfloat16 here; numpy converts on
+        # assignment, jnp.asarray transfers the 2-byte rows unchanged)
+        self.box_dtype = box_dtype
 
     def shape_of(self, im: AffinityImage) -> tuple[int, int]:
         M = self.mention_spec.bucket_of(im.phrase_tokens.shape[0])
@@ -194,7 +200,7 @@ class AffinityBatcher:
         a = {
             "phrase_tokens": np.zeros((I, M, L), np.int32),
             "phrase_len": np.zeros((I, M), np.int32),
-            "box_feats": np.zeros((I, B, D), np.float32),
+            "box_feats": np.zeros((I, B, D), self.box_dtype),
             "box_valid": np.zeros((I, B), bool),
             "grid_label": np.zeros((I, M, B), np.int32),
             "grid_valid": np.zeros((I, M, B), bool),

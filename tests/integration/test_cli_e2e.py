@@ -104,3 +104,54 @@ def test_affinity_rank_file(cli_dir):
         sums[i.rsplit(";box:", 1)[0]] += p
     for mention, total in sums.items():
         assert abs(total - 1.0) < 1e-4, (mention, total)
+
+
+def test_bf16_compute_dtype_cli(cli_dir, tmp_path):
+    """--compute_dtype bf16: trains and predicts end-to-end; affinity box
+    features ship as bf16 (host-side conversion); checkpoints stay f32 so a
+    bf16-trained model predicts in f32 too."""
+    from icl.cli.affinity import main as amain
+    from icl.cli.relation import main as rmain
+    md = str(tmp_path / "rel_bf16")
+    small = ["--lstm_hidden_width", "8", "--head_hidden", "16",
+             "--images_per_batch", "2", "--model_file", md]
+    rmain(["--train", "--data_dir", cli_dir, "--epochs", "1",
+           "--compute_dtype", "bf16", *small])
+    mc = json.load(open(os.path.join(md, "model_config.json")))
+    assert mc["compute_dtype"] == "bf16"
+    # bf16-trained checkpoint predicts fine under the default f32 mode
+    sp = str(tmp_path / "rel_bf16.scores")
+    rmain(["--predict", *_common(cli_dir), *small, "--scores_file", sp])
+    ids, probs = read_scores(sp)
+    assert probs.shape[1] == 4 and np.isfinite(probs).all()
+
+    amd = str(tmp_path / "aff_bf16")
+    asmall = ["--lstm_hidden_width", "8", "--head_hidden", "16",
+              "--images_per_batch", "2", "--model_file", amd]
+    amain(["--train", "--data_dir", cli_dir, "--epochs", "1",
+           "--compute_dtype", "bf16", *asmall])
+    asp = str(tmp_path / "aff_bf16.scores")
+    amain(["--predict", *_common(cli_dir), *asmall, "--scores_file", asp])
+    _, aprobs = read_scores(asp)
+    assert np.isfinite(aprobs).all()
+
+
+def test_affinity_batcher_box_dtype(cli_dir):
+    """box_dtype=bfloat16 halves the box block bytes and round-trips values
+    at bf16 precision."""
+    import ml_dtypes
+
+    from icl.data.imagebatch import AffinityBatcher
+    from icl.data.pipeline import load_affinity_dataset
+    from icl.data.embeddings import EmbeddingStore
+
+    emb = EmbeddingStore.load(os.path.join(cli_dir, "embeddings.txt"))
+    ds = load_affinity_dataset(cli_dir, "dev", emb)
+    b16 = next(iter(AffinityBatcher(images_per_batch=2,
+                                    box_dtype=ml_dtypes.bfloat16).batches(ds)))
+    b32 = next(iter(AffinityBatcher(images_per_batch=2).batches(ds)))
+    assert b16.arrays["box_feats"].dtype == ml_dtypes.bfloat16
+    assert b16.arrays["box_feats"].nbytes * 2 == b32.arrays["box_feats"].nbytes
+    np.testing.assert_allclose(
+        b16.arrays["box_feats"].astype(np.float32),
+        b32.arrays["box_feats"], rtol=8e-3, atol=1e-2)

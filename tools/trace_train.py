@@ -65,8 +65,8 @@ def main():
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[ge._synth_affinity_batch(np.random.default_rng(s),
-                                       I=args.images, L=bench.L, M=bench.M,
-                                       B=bench.BOXES, vocab=bench.VOCAB)
+                                       I=args.images, L=8, M=16, B=24,
+                                       vocab=bench.VOCAB, box_dim=4096)
               for s in range(args.iters)])
         model = AffinityModel(lstm_hidden=bench.LSTM_H, head_hidden=1024,
                               compute_dtype=cd, fused=True)
