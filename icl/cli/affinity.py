@@ -70,7 +70,8 @@ def main(argv=None) -> None:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
     import jax.numpy as _jnp
-    if resolve_compute_dtype(args) == _jnp.bfloat16:
+    compute_dtype = resolve_compute_dtype(args)
+    if compute_dtype == _jnp.bfloat16:
         import ml_dtypes
         box_np_dtype = ml_dtypes.bfloat16
     else:
@@ -97,7 +98,7 @@ def main(argv=None) -> None:
     model = AffinityModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
                           phrase_enc=phrase_enc,
-                          compute_dtype=resolve_compute_dtype(args),
+                          compute_dtype=compute_dtype,
                           fused=use_fused and (bool(args.predict)
                                  or jax.devices()[0].platform == "tpu"
                                  or args.dropout == 0.0))

@@ -69,7 +69,8 @@ def main(argv=None) -> None:
     batcher = RelationBatcher(
         images_per_batch=ipb,
         len_spec=bucket_spec(args, "caption_len", (16, 32, 48)),
-        mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)))
+        mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)),
+        build_grid=bool(args.train))
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     if args.predict:
         cfg_path = os.path.join(default_model_dir(args, "relation"),

@@ -54,11 +54,15 @@ class RelationBatcher:
     def __init__(self, images_per_batch: int = 8,
                  len_spec: BucketSpec = BucketSpec((16, 32, 48)),
                  mention_spec: BucketSpec = BucketSpec((8, 16, 32)),
-                 captions_per_image: int = 5):
+                 captions_per_image: int = 5,
+                 build_grid: bool = True):
         self.ipb = images_per_batch
         self.len_spec = len_spec
         self.mention_spec = mention_spec
         self.C = captions_per_image
+        # grid_label/grid_valid feed only the grid-loss TRAIN step; the
+        # relation CLI turns this off for predict (dead [I,M,M] arrays)
+        self.build_grid = build_grid
 
     def shape_of(self, im: RelationImage) -> tuple[int, int, int, int]:
         L = self.len_spec.bucket_of(im.tokens.shape[1])
@@ -112,13 +116,15 @@ class RelationBatcher:
             "pair_ij": np.zeros((I, P, 2), np.int32),
             "pair_label": np.zeros((I, P), np.int32),
             "pair_valid": np.zeros((I, P), bool),
-            # pair labels in M×M grid form, built here (free on the host)
-            # so the grid-loss train step needs no device scatter; cells
-            # not covered by a valid pair stay (label 0, valid False)
-            "grid_label": np.zeros((I, M, M), np.int32),
-            "grid_valid": np.zeros((I, M, M), bool),
             "img_valid": np.zeros((I,), bool),
         }
+        if self.build_grid:
+            # pair labels in M×M grid form, built here (free on the host)
+            # so the grid-loss train step needs no device scatter; cells
+            # not covered by a valid pair stay (label 0, valid False).
+            # Predict/eval batches skip these dead arrays entirely.
+            a["grid_label"] = np.zeros((I, M, M), np.int32)
+            a["grid_valid"] = np.zeros((I, M, M), bool)
         id_index: list[tuple[int, int, str]] = []
         for s, im in enumerate(group):
             c, l = im.tokens.shape
@@ -134,11 +140,12 @@ class RelationBatcher:
             a["pair_ij"][s, :p] = im.pair_ij[:p]
             a["pair_label"][s, :p] = im.pair_label[:p]
             a["pair_valid"][s, :p] = True
-            ij = np.asarray(im.pair_ij[:p], np.int32)
-            lab = np.asarray(im.pair_label[:p], np.int32)
-            ok = (ij[:, 0] < M) & (ij[:, 1] < M) if p else np.zeros(0, bool)
-            a["grid_label"][s, ij[ok, 0], ij[ok, 1]] = lab[ok]
-            a["grid_valid"][s, ij[ok, 0], ij[ok, 1]] = True
+            if self.build_grid:
+                # bucket_of never truncates (M >= the image's mention
+                # count), so every pair index is in range
+                ij = np.asarray(im.pair_ij[:p], np.int32)
+                a["grid_label"][s, ij[:, 0], ij[:, 1]] = im.pair_label[:p]
+                a["grid_valid"][s, ij[:, 0], ij[:, 1]] = True
             a["img_valid"][s] = True
             id_index.extend((s, k, pid) for k, pid in enumerate(im.pair_ids[:p]))
         return ImageBatch(arrays=a, id_index=id_index, shape_key=key)

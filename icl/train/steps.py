@@ -29,19 +29,12 @@ def masked_weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     """Mean CE over valid entries; optional per-class weights (§6.4 uses
     class-weighted CE because ~90% of relation pairs are null).
 
-    TPU note: formulated through a one-hot product rather than
-    ``take_along_axis`` — label gathers lower to TPU gather ops that cost
-    more than the whole CE (measured 0.16 ms/step on the relation train
-    trace); ``one_hot`` over a 2–12 class axis fuses to an iota-compare.
-    Math is identical to ``optax.softmax_cross_entropy_with_integer_labels``
-    (same max-shift stabilization); out-of-range labels at padded positions
-    produce a zero one-hot row and are masked by ``valid`` anyway.
+    The per-cell CE is the shared :mod:`icl.ops.ce` definition (same
+    helper grid_ce_sums and the in-kernel grid CE mirror), so pair-form
+    and grid-form training losses cannot drift apart.
     """
-    lmax = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    shifted = logits - lmax
-    logz = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
-    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
-    ce = logz - jnp.sum(shifted * onehot, axis=-1)
+    from icl.ops.ce import onehot_ce
+    ce, onehot = onehot_ce(logits, labels)
     w = valid.astype(ce.dtype)
     if class_weights is not None:
         w = w * jnp.sum(onehot * class_weights, axis=-1)
@@ -133,7 +126,20 @@ def make_relation_train_step(class_weights=None, donate: bool = True,
     HBM.  The loss value is identical to the pair form: valid grid cells
     are exactly the valid pairs (scatter adds are duplicate-free because
     the pair list enumerates distinct i<j cells; padded pairs contribute
-    zero weight)."""
+    zero weight).
+
+    Grid-loss accuracy counts cells with weight > 0, so a class weight of
+    0 would silently drop that class from the accuracy denominator (the
+    pair form counts every valid pair) — the guard below keeps the pair
+    form in that edge case so metric semantics never depend on the fused
+    gate."""
+    if grid_loss and class_weights is not None and any(
+            w <= 0 for w in class_weights):
+        from icl.util.log import LOG
+        LOG.warning("grid_loss disabled: a class weight <= 0 would drop "
+                    "that class from the in-kernel accuracy denominator; "
+                    "keeping the pair-form step for consistent metrics")
+        grid_loss = False
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, emb_table, batch):
@@ -196,7 +202,15 @@ def make_affinity_train_step(class_weights=None, donate: bool = True,
                              grid_loss: bool = False) -> Callable:
     """``grid_loss=True``: affinity labels are already grid-shaped, so the
     in-kernel CE (see make_relation_train_step) applies directly — no
-    scatter needed."""
+    scatter needed.  Same zero-class-weight metric guard as the relation
+    step."""
+    if grid_loss and class_weights is not None and any(
+            w <= 0 for w in class_weights):
+        from icl.util.log import LOG
+        LOG.warning("grid_loss disabled: a class weight <= 0 would drop "
+                    "that class from the in-kernel accuracy denominator; "
+                    "keeping the cell-form step for consistent metrics")
+        grid_loss = False
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, emb_table, batch):

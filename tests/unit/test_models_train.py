@@ -146,3 +146,33 @@ def test_affinity_grid_loss_step_matches(synth_dir, emb):
                          jax.tree.leaves(st2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                        atol=3e-5)
+
+
+def test_grid_loss_eval_mode(synth_dir, emb):
+    """loss_grid with deterministic=True (the eval-loss capability): both
+    fused and gather models return the same (Σ ce·w, Σ hits, Σ valid) as
+    grid_ce_sums over the deterministic logits grid."""
+    from icl.ops.grid_head_train import grid_ce_sums
+    from icl.train.steps import _cell_weights
+
+    ds = load_relation_dataset(synth_dir, "train", emb)
+    b = next(iter(RelationBatcher(images_per_batch=4).batches(ds)))
+    jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+    table = jnp.asarray(emb.table)
+    cw = jnp.asarray([0.3, 1.0, 1.0, 1.0])
+    weights = _cell_weights(jb["grid_label"], jb["grid_valid"], cw)
+    ref = None
+    for fused in (False, True):
+        model = RelationModel(lstm_hidden=12, head_hidden=24, dropout=0.5,
+                              fused=fused)
+        st = create_train_state(model, (table, jb), seed=0)
+        out = model.apply({"params": st.params}, table, jb,
+                          deterministic=True,
+                          loss_grid=(jb["grid_label"], weights))
+        assert len(out) == 3 and all(np.isfinite(float(v)) for v in out)
+        if ref is None:
+            ref = out
+        else:
+            for name, a, c in zip(["loss_sum", "hits", "nvalid"], out, ref):
+                np.testing.assert_allclose(float(a), float(c), rtol=1e-5,
+                                           err_msg=name)
