@@ -463,7 +463,8 @@ def main():
                 "(single-tile images, <=4MB activation) + b1 folded into "
                 "X | the head dot's O-minor output wasted 124/128 MXU "
                 "lanes; grid_head_pallas 0.261 -> 0.132 ms/call, predict "
-                "headline 9.4 -> 10.5M pairs/s |\n\n"
+                "headline 9.4 -> 10.5M pairs/s |\n"
+                "| [r2] host data path: threaded prefetch + train-mode batcher (no id-string/predict bookkeeping) + per-image padded-field cache | training was HOST-bound: batch assembly measured 5.1 ms (relation) / 9.9 ms (affinity) vs the 2.15 ms device step, and the old prefetch only buffered in-thread; now 1.8/1.9 ms steady-state and overlapped by a background thread |\n\n"
                 "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "
                 "stacked batches inside one jit call and forced by a scalar "

@@ -80,7 +80,7 @@ def main(argv=None) -> None:
         images_per_batch=ipb,
         mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)),
         box_spec=bucket_spec(args, "boxes_per_image", (8, 16, 32)),
-        box_dtype=box_np_dtype)
+        box_dtype=box_np_dtype, with_ids=not args.train)
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     phrase_enc = args.phrase_enc
     if args.predict:

@@ -70,7 +70,7 @@ def main(argv=None) -> None:
         images_per_batch=ipb,
         len_spec=bucket_spec(args, "caption_len", (16, 32, 48)),
         mention_spec=bucket_spec(args, "mentions_per_image", (8, 16, 32)),
-        build_grid=bool(args.train))
+        build_grid=bool(args.train), with_ids=not args.train)
     lstm_hidden, head_hidden = args.lstm_hidden_width, args.head_hidden
     if args.predict:
         cfg_path = os.path.join(default_model_dir(args, "relation"),

@@ -42,18 +42,43 @@ class LoopConfig:
 
 
 def prefetch(iterator, depth: int = 2):
-    """Keep `depth` batches in flight: device transfers (async under JAX)
-    start before the consuming step runs — hides host→device latency, which
-    dominates on slow links (e.g. the axon relay in this environment)."""
-    import collections
+    """Run the batch generator in a BACKGROUND THREAD with a bounded queue.
 
-    buf = collections.deque()
-    for item in iterator:
-        buf.append(item)
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    Host-side batch assembly (numpy padding + id bookkeeping) measures
+    4–10 ms/batch at production shapes — slower than the ~2 ms device step —
+    so a same-thread buffer (the round-1 deque version of this function)
+    left training host-bound: the generator only advanced when the consumer
+    asked.  The worker thread overlaps assembly with device compute, and
+    device transfers (``jnp.asarray`` inside the generator) start ``depth``
+    batches ahead of the consuming step, which also hides host→device
+    latency on slow links (the axon relay here).  Order-preserving;
+    generator exceptions re-raise at the consumer.  The daemon worker can
+    outlive an abandoned consumer only until its next ``put`` (bounded
+    queue), and dies with the process.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=max(depth, 1))
+    _end = object()
+
+    def _worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_end)
+        except BaseException as e:   # noqa: BLE001 — re-raised below
+            q.put(e)
+
+    threading.Thread(target=_worker, daemon=True,
+                     name="icl-batch-prefetch").start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def run_training(state: TrainState, step_fn: Callable,

@@ -123,3 +123,56 @@ def test_embedding_restrict_and_binary_filter(tmp_path, emb):
     # pure-python restrict path agrees
     sub2 = emb.restrict(set(some))
     assert sub2.vocab.keys() == sub.vocab.keys()
+
+
+def test_batcher_train_mode_skips_predict_bookkeeping(synth_dir, emb):
+    """with_ids=False / build_grid gating: train batches carry no id_index
+    (pure-Python cost) and predict batches no grid arrays — the array
+    payloads that ARE built stay identical either way."""
+    from icl.data.imagebatch import AffinityBatcher, RelationBatcher
+    from icl.data.pipeline import load_affinity_dataset, load_relation_dataset
+
+    rds = load_relation_dataset(synth_dir, "train", emb)
+    full = next(iter(RelationBatcher(images_per_batch=4).batches(rds)))
+    lean = next(iter(RelationBatcher(images_per_batch=4, build_grid=False,
+                                     with_ids=False).batches(rds)))
+    assert full.id_index and not lean.id_index
+    assert "grid_label" in full.arrays and "grid_label" not in lean.arrays
+    for k, v in lean.arrays.items():
+        np.testing.assert_array_equal(v, full.arrays[k])
+
+    ads = load_affinity_dataset(synth_dir, "train", emb)
+    afull = next(iter(AffinityBatcher(images_per_batch=4).batches(ads)))
+    alean = next(iter(AffinityBatcher(images_per_batch=4,
+                                      with_ids=False).batches(ads)))
+    assert afull.id_index and not alean.id_index
+    for k, v in alean.arrays.items():
+        np.testing.assert_array_equal(v, afull.arrays[k])
+
+
+def test_prefetch_threaded_order_and_errors():
+    """Threaded prefetch preserves order, drains fully, and re-raises
+    generator exceptions at the consumer."""
+    import time
+
+    from icl.train.loop import prefetch
+
+    def slow_gen(n):
+        for i in range(n):
+            time.sleep(0.001)
+            yield i
+
+    assert list(prefetch(slow_gen(17), depth=2)) == list(range(17))
+    assert list(prefetch(iter([]), depth=2)) == []
+
+    def bad_gen():
+        yield 0
+        raise RuntimeError("boom")
+
+    it = prefetch(bad_gen(), depth=2)
+    assert next(it) == 0
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "boom" in str(e)
