@@ -1,0 +1,80 @@
+"""icl-eval — score a `.scores` file against gold `.feats` labels.
+
+Rebuild-only convenience (SURVEY §3.1 C10's ScoreDict as a standalone
+tool): the reference computed P/R/F1 inside each task script after predict;
+downstream users often want to re-score an existing `.scores` file (e.g.
+after thresholding or an ILP round-trip) without re-running a model.  Reads
+the §6.2 `.scores` format and the §6.1 `.feats` gold labels, joins on the
+example id, and prints the pinned ScoreDict table.
+
+Usage::
+
+    icl-eval --task relation --scores dev.relation.scores \
+             --feats dev.relation.feats
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from icl.eval.scoredict import ScoreDict
+from icl.io.feats import read_feats
+from icl.io.scores import read_scores
+from icl.util.log import LOG
+
+TASK_CLASSES = {
+    "nonvisual": ("visual", "nonvisual"),
+    "relation": ("null", "coref", "subset_ij", "subset_ji"),
+    "affinity": ("no_affinity", "affinity"),
+    "cardinality": tuple(str(i) for i in range(11)) + ("11+",),
+}
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        "icl-eval", description="ScoreDict P/R/F1 for a .scores file "
+                                "against gold .feats labels")
+    p.add_argument("--task", required=True, choices=sorted(TASK_CLASSES))
+    p.add_argument("--scores", required=True, help=".scores file (§6.2)")
+    p.add_argument("--feats", required=True,
+                   help="gold .feats file (§6.1; labels + ids)")
+    p.add_argument("--strict", action="store_true",
+                   help="error (instead of warn) when ids in one file are "
+                        "missing from the other")
+    args = p.parse_args(argv)
+
+    classes = TASK_CLASSES[args.task]
+    ids, probs = read_scores(args.scores)
+    if probs.shape[1] != len(classes):
+        raise SystemExit(
+            f"{args.scores}: {probs.shape[1]} classes, expected "
+            f"{len(classes)} for task {args.task!r}")
+    gold = {ex.example_id: int(ex.label) for ex in read_feats(args.feats)}
+
+    missing_gold = [i for i in ids if i not in gold]
+    scored = set(ids)
+    missing_scores = [i for i in gold if i not in scored]
+    if missing_gold or missing_scores:
+        msg = (f"{len(missing_gold)} scored ids missing from gold, "
+               f"{len(missing_scores)} gold ids missing from scores")
+        if args.strict:
+            raise SystemExit(f"id mismatch: {msg}")
+        LOG.warning("id mismatch (joining on intersection): %s", msg)
+
+    sd = ScoreDict(labels=list(classes))
+    n = 0
+    for i, row in zip(ids, probs):
+        if i not in gold:
+            continue
+        sd.increment(classes[gold[i]], classes[int(np.argmax(row))])
+        n += 1
+    if n == 0:
+        raise SystemExit("no overlapping ids between scores and gold")
+    sys.stdout.write(sd.table())   # includes the pinned Accuracy line
+
+
+if __name__ == "__main__":
+    main()

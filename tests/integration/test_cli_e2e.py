@@ -155,3 +155,37 @@ def test_affinity_batcher_box_dtype(cli_dir):
     np.testing.assert_allclose(
         b16.arrays["box_feats"].astype(np.float32),
         b32.arrays["box_feats"], rtol=8e-3, atol=1e-2)
+
+
+def test_eval_cli(capsys, tmp_path):
+    """icl-eval scores a .scores file against gold .feats: known inputs give
+    a hand-computable accuracy; --strict errors on id mismatches."""
+    import pytest
+
+    from icl.cli.evaluate import main as emain
+
+    ids = [f"doc:d.jpg;caption:0;mention:{i}" for i in range(4)]
+    sp = str(tmp_path / "x.scores")
+    with open(sp, "w") as f:                     # argmax: 1, 0, 1, 1
+        for i, row in zip(ids, ["0.1,0.9", "0.8,0.2", "0.3,0.7", "0.4,0.6"]):
+            f.write(f"{i},{row}\n")
+    fp = str(tmp_path / "x.feats")
+    with open(fp, "w") as f:                     # gold:   1, 0, 0, 1
+        for i, lab in zip(ids, [1, 0, 0, 1]):
+            f.write(f"{lab} 1:1.0 # {i}\n")
+    emain(["--task", "nonvisual", "--scores", sp, "--feats", fp])
+    out = capsys.readouterr().out
+    assert "Accuracy: 75.00%" in out and "F1" in out
+
+    # class-count mismatch is a hard error
+    with pytest.raises(SystemExit):
+        emain(["--task", "relation", "--scores", sp, "--feats", fp])
+
+    # --strict errors when ids are missing from one side
+    short = str(tmp_path / "short.scores")
+    with open(sp) as f, open(short, "w") as g:
+        g.writelines(f.readlines()[:2])
+    emain(["--task", "nonvisual", "--scores", short, "--feats", fp])
+    with pytest.raises(SystemExit):
+        emain(["--task", "nonvisual", "--scores", short, "--feats", fp,
+               "--strict"])
