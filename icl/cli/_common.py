@@ -56,6 +56,15 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "Defaults to 'high' (bf16_3x — parity-grade, "
                         "measured 2.2e-5 vs the oracle, 45%% faster than "
                         "'highest') for --predict and 'default' for --train")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="relation/affinity train: every N steps, compute "
+                        "deterministic loss/acc over (a capped sample of) "
+                        "--eval_split and log it (JSONL eval_* keys) - "
+                        "the reference's Keras validation monitoring. "
+                        "0: off. Ignored in multi-process runs")
+    p.add_argument("--eval_split", default="dev")
+    p.add_argument("--eval_batches", type=int, default=16,
+                   help="max eval batches per --eval_every hook")
     p.add_argument("--compute_dtype", default="f32",
                    choices=["f32", "bf16"],
                    help="model activation dtype (relation/affinity). bf16 "
@@ -235,6 +244,13 @@ def load_embeddings(args) -> EmbeddingStore:
     if getattr(args, "prune_embeddings", True):
         try:
             restrict = split_vocab(args.data_dir, args.data_split)
+            if getattr(args, "eval_every", 0):
+                # in-training dev eval reads a second split — prune to the
+                # UNION so its words are not spuriously OOV
+                try:
+                    restrict |= split_vocab(args.data_dir, args.eval_split)
+                except FileNotFoundError:
+                    pass
         except FileNotFoundError:
             restrict = None
     LOG.info("loading embeddings from %s%s", path,

@@ -115,13 +115,25 @@ def main(argv=None) -> None:
                 jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
                 yield (shard_batch(jb, rt.mesh),)
 
+        from icl.train.evalhook import build_eval_hook
+        eval_fn = build_eval_hook(
+            args, model, table, rt.mesh,
+            lambda d, sp: load_relation_dataset(d, sp, emb),
+            RelationBatcher(
+                images_per_batch=ipb,
+                len_spec=bucket_spec(args, "caption_len", (16, 32, 48)),
+                mention_spec=bucket_spec(args, "mentions_per_image",
+                                         (8, 16, 32)),
+                build_grid=True, with_ids=False),
+            class_weights=[args.null_weight, 1.0, 1.0, 1.0])
         dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
-                         metrics_path=args.metrics_file, seed=args.seed)
+                         metrics_path=args.metrics_file, seed=args.seed,
+                         eval_every=args.eval_every)
         state = run_training(state, lambda s, b: step(s, table, b),
-                             make_batches, cfg)
+                             make_batches, cfg, eval_fn=eval_fn)
         with open(os.path.join(model_dir, "model_config.json"), "w") as f:
             json.dump({"task": "relation",
                        "lstm_hidden": args.lstm_hidden_width,

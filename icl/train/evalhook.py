@@ -1,0 +1,97 @@
+"""In-training dev evaluation hooks (L5, SURVEY §2.1 model layer).
+
+The reference monitored validation metrics through Keras
+``fit(validation_data=...)``; here the equivalent is a deterministic
+``eval_fn`` handed to :func:`icl.train.loop.run_training`.  Evaluation uses
+the grid-loss form in *deterministic* mode (no dropout): the model returns
+``(Σ ce·w, Σ hits, Σ valid)`` per batch — via ``grid_ce_sums`` on CPU and
+the fused grid head on TPU — and the hook normalizes across the whole eval
+set, so the reported loss is exactly ``masked_weighted_ce`` over every
+sampled dev cell (not a mean of per-batch means).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from icl.train.steps import _cell_weights
+from icl.util.log import LOG
+
+
+def make_grid_eval_fn(model, table, eval_batches: list,
+                      class_weights=None) -> Callable:
+    """Build ``eval_fn(state) -> {"loss", "acc"}`` over fixed batches.
+
+    ``eval_batches``: list of device-ready batch dicts that carry
+    ``grid_label``/``grid_valid`` (RelationBatcher with ``build_grid=True``,
+    or any AffinityBatcher batch).  The batch list is deterministic (no
+    shuffle), so successive evals are comparable point-to-point.
+    """
+    cw = (None if class_weights is None
+          else jnp.asarray(class_weights, jnp.float32))
+    prepared = []
+    for jb in eval_batches:
+        weights = _cell_weights(jb["grid_label"], jb["grid_valid"], cw)
+        prepared.append((jb, jb["grid_label"], weights,
+                         float(jnp.sum(weights))))
+
+    @jax.jit
+    def one(params, jb, labels, weights):
+        return model.apply({"params": params}, table, jb,
+                           deterministic=True, loss_grid=(labels, weights))
+
+    def eval_fn(state):
+        loss_sum = hits = nval = 0.0
+        wsum = 0.0
+        for jb, labels, weights, w in prepared:
+            ls, h, nv = one(state.params, jb, labels, weights)
+            loss_sum += float(ls)
+            hits += float(h)
+            nval += float(nv)
+            wsum += w
+        return {"loss": loss_sum / max(wsum, 1.0),
+                "acc": hits / max(nval, 1.0)}
+
+    return eval_fn
+
+
+def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
+                    class_weights=None) -> Callable | None:
+    """CLI glue: resolve --eval_every/--eval_split into an eval_fn.
+
+    Returns None (with a log line explaining why) when eval is off, the
+    split is missing, or the run is multi-process (eval batches would need
+    the input-sharded path; monitoring is a single-host concern).
+    """
+    if not getattr(args, "eval_every", 0):
+        return None
+    if jax.process_count() > 1:
+        LOG.warning("--eval_every ignored: multi-process run")
+        return None
+    from icl.dist.mesh import shard_batch
+    try:
+        ds = load_dataset(args.data_dir, args.eval_split)
+    except FileNotFoundError as e:
+        LOG.warning("--eval_every ignored: eval split %r not loadable (%s)",
+                    args.eval_split, e)
+        return None
+    cap = max(getattr(args, "eval_batches", 16), 1)
+    batches = []
+    for b in batcher.batches(ds):
+        batches.append(shard_batch(
+            {k: jnp.asarray(v) for k, v in b.arrays.items()}, mesh))
+        if len(batches) >= cap:
+            break
+    if not batches:
+        LOG.warning("--eval_every ignored: eval split %r is empty",
+                    args.eval_split)
+        return None
+    n = int(sum(np.asarray(b["img_valid"]).sum() for b in batches))
+    LOG.info("eval hook: %d batches (%d images) from %s every %d steps",
+             len(batches), n, args.eval_split, args.eval_every)
+    return make_grid_eval_fn(model, table, batches, class_weights)

@@ -39,6 +39,7 @@ class LoopConfig:
     resume: str = "none"          # "none" | "auto"
     metrics_path: str | None = None
     seed: int = 0
+    eval_every: int = 0           # steps between dev evals (0: off)
 
 
 def prefetch(iterator, depth: int = 2):
@@ -83,7 +84,15 @@ def prefetch(iterator, depth: int = 2):
 
 def run_training(state: TrainState, step_fn: Callable,
                  make_batches: Callable[[np.random.Generator], Iterable[tuple]],
-                 cfg: LoopConfig) -> TrainState:
+                 cfg: LoopConfig,
+                 eval_fn: Callable[[TrainState], dict] | None = None) -> TrainState:
+    """Drive the jitted ``step_fn`` over ``make_batches`` for ``cfg.epochs``.
+
+    ``eval_fn`` (optional): called every ``cfg.eval_every`` steps with the
+    current state; returns a metrics dict (e.g. dev loss/acc) that is
+    logged and appended to the JSONL stream under ``eval_*`` keys —
+    the reference's Keras ``fit(validation_data=...)`` monitoring
+    (SURVEY §2.1 model layer) as a loop hook."""
     ckpt = Checkpointer(cfg.ckpt_dir) if cfg.ckpt_dir else None
     start_epoch = start_batch = 0
     if ckpt and cfg.resume == "auto":
@@ -146,6 +155,17 @@ def run_training(state: TrainState, step_fn: Callable,
                         metrics_f.write(json.dumps(
                             {"epoch": epoch, "step": step, "loss": loss,
                              "acc": acc, "examples_per_sec": rate}) + "\n")
+                        metrics_f.flush()
+                if (eval_fn is not None and cfg.eval_every
+                        and step % cfg.eval_every == 0):
+                    ev = {k: float(v) for k, v in eval_fn(state).items()}
+                    LOG.info("epoch %d step %d EVAL %s", epoch, step,
+                             " ".join(f"{k} {v:.4f}" for k, v in ev.items()))
+                    if metrics_f:
+                        metrics_f.write(json.dumps(
+                            {"epoch": epoch, "step": step,
+                             **{f"eval_{k}": v for k, v in ev.items()}})
+                            + "\n")
                         metrics_f.flush()
                 if ckpt and cfg.ckpt_every and step % cfg.ckpt_every == 0:
                     ckpt.save(state, epoch=epoch,

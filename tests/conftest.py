@@ -26,6 +26,19 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _isolate_matmul_precision():
+    """CLI mains call apply_precision(), which sets the GLOBAL
+    jax_default_matmul_precision for the process — without this reset, a
+    CLI e2e test leaks its precision into every later test (observed as a
+    marginal 2e-6 flake in grid-vs-pair loss equality).  Restore the value
+    around every test."""
+    before = jax.config.jax_default_matmul_precision
+    yield
+    if jax.config.jax_default_matmul_precision != before:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
 @pytest.fixture(scope="session")
 def synth_dir(tmp_path_factory):
     """A shared synthetic train+dev dataset (see icl.testing.synth)."""

@@ -189,3 +189,29 @@ def test_eval_cli(capsys, tmp_path):
     with pytest.raises(SystemExit):
         emain(["--task", "nonvisual", "--scores", short, "--feats", fp,
                "--strict"])
+
+
+def test_eval_every_hook(cli_dir, tmp_path):
+    """--eval_every N: dev loss/acc appears in the metrics JSONL (eval_*
+    keys), values finite, for both relation and affinity trains."""
+    from icl.cli.affinity import main as amain
+    from icl.cli.relation import main as rmain
+
+    for name, main in (("rel", rmain), ("aff", amain)):
+        mf = str(tmp_path / f"{name}.metrics.jsonl")
+        md = str(tmp_path / f"{name}.eval.model")
+        main(["--train", "--data_dir", cli_dir, "--epochs", "2",
+              "--lstm_hidden_width", "8", "--head_hidden", "16",
+              "--images_per_batch", "2", "--eval_every", "2",
+              "--metrics_file", mf, "--model_file", md])
+        evals = [json.loads(l) for l in open(mf) if "eval_loss" in l]
+        assert evals, f"no eval entries for {name}"
+        for e in evals:
+            assert np.isfinite(e["eval_loss"]) and 0 <= e["eval_acc"] <= 1
+
+    # missing eval split → hook disabled, training still runs
+    md = str(tmp_path / "noeval.model")
+    rmain(["--train", "--data_dir", cli_dir, "--epochs", "1",
+           "--lstm_hidden_width", "8", "--head_hidden", "16",
+           "--images_per_batch", "2", "--eval_every", "2",
+           "--eval_split", "nonexistent", "--model_file", md])

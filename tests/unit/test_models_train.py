@@ -24,11 +24,14 @@ def test_nonvisual_trains(synth_dir, emb):
     step = make_mention_train_step()
     args = (jnp.asarray(ds.token_ids), jnp.asarray(ds.lengths),
             jnp.asarray(ds.labels), jnp.ones(len(ds.ids), bool))
-    first = None
+    losses = []
     for _ in range(25):
         st, m = step(st, table, *args)
-        first = first if first is not None else float(m["loss"])
-    assert float(m["loss"]) < first
+        losses.append(float(m["loss"]))
+    # dropout makes single-step losses bouncy: require a clear downward
+    # TREND (tail mean vs head mean), not last < first (observed flaking
+    # on marginal runs under full-suite scheduling)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.01, losses
 
 
 def test_relation_trains(synth_dir, emb):
@@ -111,8 +114,10 @@ def test_grid_loss_step_matches_pair_step(synth_dir, emb):
         nb = {k: v for k, v in jb.items()
               if k not in ("grid_label", "grid_valid")}
         st3, m3 = s_grid(st, table, nb)                    # scatter fallback
+        # pair-form and grid-form sum the same cells in different orders:
+        # ~1e-6 relative drift is legitimate f32 reassociation
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                                   rtol=1e-6)
+                                   rtol=1e-5)
         np.testing.assert_allclose(float(m1["acc"]), float(m2["acc"]),
                                    rtol=1e-6)
         for a, b2, c in zip(jax.tree.leaves(st1.params),
@@ -139,7 +144,7 @@ def test_affinity_grid_loss_step_matches(synth_dir, emb):
         st1, m1 = s0(st, table, jb)
         st2, m2 = s1(st, table, jb)
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                                   rtol=1e-6)
+                                   rtol=1e-5)
         np.testing.assert_allclose(float(m1["acc"]), float(m2["acc"]),
                                    rtol=1e-6)
         for a, b2 in zip(jax.tree.leaves(st1.params),
