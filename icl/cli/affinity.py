@@ -130,12 +130,7 @@ def main(argv=None) -> None:
         eval_fn = build_eval_hook(
             args, model, table, rt.mesh,
             lambda d, sp: load_affinity_dataset(d, sp, emb),
-            AffinityBatcher(
-                images_per_batch=ipb,
-                mention_spec=bucket_spec(args, "mentions_per_image",
-                                         (8, 16, 32)),
-                box_spec=bucket_spec(args, "boxes_per_image", (8, 16, 32)),
-                box_dtype=box_np_dtype, with_ids=False))
+            batcher)
         dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,

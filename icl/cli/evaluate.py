@@ -20,16 +20,21 @@ import sys
 
 import numpy as np
 
+from icl.data.pairs import RELATION_CLASSES
 from icl.eval.scoredict import ScoreDict
 from icl.io.feats import read_feats
 from icl.io.scores import read_scores
+from icl.models.affinity import AFFINITY_CLASSES
+from icl.models.cardinality import CARDINALITY_CLASSES
+from icl.models.nonvisual import NONVIS_CLASSES
 from icl.util.log import LOG
 
+# the §6.3–6.5 contract-pinned orders, imported from their single sources
 TASK_CLASSES = {
-    "nonvisual": ("visual", "nonvisual"),
-    "relation": ("null", "coref", "subset_ij", "subset_ji"),
-    "affinity": ("no_affinity", "affinity"),
-    "cardinality": tuple(str(i) for i in range(11)) + ("11+",),
+    "nonvisual": NONVIS_CLASSES,
+    "relation": RELATION_CLASSES,
+    "affinity": AFFINITY_CLASSES,
+    "cardinality": CARDINALITY_CLASSES,
 }
 
 
@@ -48,6 +53,8 @@ def main(argv=None) -> None:
 
     classes = TASK_CLASSES[args.task]
     ids, probs = read_scores(args.scores)
+    if not ids:
+        raise SystemExit(f"{args.scores}: no score lines")
     if probs.shape[1] != len(classes):
         raise SystemExit(
             f"{args.scores}: {probs.shape[1]} classes, expected "

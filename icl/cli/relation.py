@@ -116,16 +116,12 @@ def main(argv=None) -> None:
                 yield (shard_batch(jb, rt.mesh),)
 
         from icl.train.evalhook import build_eval_hook
+        # the train batcher already has build_grid=True/with_ids=False and
+        # is stateless aside from the per-image pad cache — share it
         eval_fn = build_eval_hook(
             args, model, table, rt.mesh,
             lambda d, sp: load_relation_dataset(d, sp, emb),
-            RelationBatcher(
-                images_per_batch=ipb,
-                len_spec=bucket_spec(args, "caption_len", (16, 32, 48)),
-                mention_spec=bucket_spec(args, "mentions_per_image",
-                                         (8, 16, 32)),
-                build_grid=True, with_ids=False),
-            class_weights=[args.null_weight, 1.0, 1.0, 1.0])
+            batcher, class_weights=[args.null_weight, 1.0, 1.0, 1.0])
         dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,

@@ -29,9 +29,18 @@ def make_grid_eval_fn(model, table, eval_batches: list,
 
     ``eval_batches``: list of device-ready batch dicts that carry
     ``grid_label``/``grid_valid`` (RelationBatcher with ``build_grid=True``,
-    or any AffinityBatcher batch).  The batch list is deterministic (no
-    shuffle), so successive evals are comparable point-to-point.
+    or any AffinityBatcher batch).  The list is built ONCE (seeded shuffle
+    in :func:`build_eval_hook`, then frozen), so successive evals are
+    comparable point-to-point.
     """
+    if class_weights is not None and any(w <= 0 for w in class_weights):
+        # mirror make_relation_train_step's guard: grid-form metrics count
+        # weight>0 cells, so a zero class weight would drop that class from
+        # the eval accuracy denominator — evaluate unweighted instead
+        LOG.warning("eval hook: class weight <= 0 — evaluating with "
+                    "uniform weights so accuracy counts every valid cell "
+                    "(eval_loss is unweighted CE)")
+        class_weights = None
     cw = (None if class_weights is None
           else jnp.asarray(class_weights, jnp.float32))
     prepared = []
@@ -82,7 +91,12 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
         return None
     cap = max(getattr(args, "eval_batches", 16), 1)
     batches = []
-    for b in batcher.batches(ds):
+    # seeded shuffle: the batchers schedule bucket-by-bucket, so taking the
+    # FIRST cap batches unshuffled would evaluate only the smallest-bucket
+    # (shortest/easiest) images; a fixed seed keeps evals comparable
+    # point-to-point across the run
+    rng = np.random.default_rng(getattr(args, "seed", 0))
+    for b in batcher.batches(ds, rng=rng):
         batches.append(shard_batch(
             {k: jnp.asarray(v) for k, v in b.arrays.items()}, mesh))
         if len(batches) >= cap:
@@ -92,6 +106,8 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
                     args.eval_split)
         return None
     n = int(sum(np.asarray(b["img_valid"]).sum() for b in batches))
-    LOG.info("eval hook: %d batches (%d images) from %s every %d steps",
-             len(batches), n, args.eval_split, args.eval_every)
+    mb = sum(sum(v.nbytes for v in b.values()) for b in batches) / 2**20
+    LOG.info("eval hook: %d batches (%d images, %.0f MB pinned on device) "
+             "from %s every %d steps",
+             len(batches), n, mb, args.eval_split, args.eval_every)
     return make_grid_eval_fn(model, table, batches, class_weights)

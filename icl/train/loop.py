@@ -53,33 +53,48 @@ def prefetch(iterator, depth: int = 2):
     device transfers (``jnp.asarray`` inside the generator) start ``depth``
     batches ahead of the consuming step, which also hides host→device
     latency on slow links (the axon relay here).  Order-preserving;
-    generator exceptions re-raise at the consumer.  The daemon worker can
-    outlive an abandoned consumer only until its next ``put`` (bounded
-    queue), and dies with the process.
+    generator exceptions re-raise at the consumer.  An abandoned consumer
+    (step_fn raised, generator closed early) sets a stop event that the
+    worker observes at its next queue interaction, so neither the thread
+    nor its device-ready batches outlive the epoch that needed them.
     """
     import queue as _queue
     import threading
 
     q: _queue.Queue = _queue.Queue(maxsize=max(depth, 1))
     _end = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_end)
+                if not _put(item):
+                    return
+            _put(_end)
         except BaseException as e:   # noqa: BLE001 — re-raised below
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=_worker, daemon=True,
                      name="icl-batch-prefetch").start()
-    while True:
-        item = q.get()
-        if item is _end:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def run_training(state: TrainState, step_fn: Callable,

@@ -176,3 +176,33 @@ def test_prefetch_threaded_order_and_errors():
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "boom" in str(e)
+
+
+def test_prefetch_abandoned_consumer_stops_worker():
+    """Closing the prefetch generator early (consumer raised) releases the
+    worker thread instead of leaving it blocked on a full queue."""
+    import threading
+    import time
+
+    from icl.train.loop import prefetch
+
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = prefetch(endless(), depth=2)
+    assert next(it) == 0
+    before = sum(1 for t in threading.enumerate()
+                 if t.name == "icl-batch-prefetch")
+    assert before >= 1
+    it.close()                      # abandon: GeneratorExit → stop event
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not any(t.name == "icl-batch-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "icl-batch-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
