@@ -78,13 +78,17 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                      jnp.asarray(b.arrays["labels"]),
                      jnp.asarray(b.valid)), rt.mesh)
 
+        from icl.train.evalhook import build_mention_eval_hook
+        eval_fn = build_mention_eval_hook(args, model, table, rt.mesh,
+                                          task, emb, bz)
         dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
-                         metrics_path=args.metrics_file, seed=args.seed)
+                         metrics_path=args.metrics_file, seed=args.seed,
+                         eval_every=args.eval_every)
         state = run_training(state, lambda s, *a: step(s, table, *a),
-                             make_batches, cfg)
+                             make_batches, cfg, eval_fn=eval_fn)
         with open(os.path.join(model_dir, "model_config.json"), "w") as f:
             json.dump({"task": task, "hidden": hidden,
                        "num_classes": len(classes),

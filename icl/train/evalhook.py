@@ -111,3 +111,76 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
              "from %s every %d steps",
              len(batches), n, mb, args.eval_split, args.eval_every)
     return make_grid_eval_fn(model, table, batches, class_weights)
+
+
+def make_mention_eval_fn(model, table, eval_batches: list) -> Callable:
+    """Mention-task (nonvisual/cardinality) analog of make_grid_eval_fn.
+
+    ``eval_batches``: list of device-ready ``(token_ids, lengths, labels,
+    valid)`` tuples.  Deterministic forward, shared :mod:`icl.ops.ce` CE,
+    normalized across the whole eval set.
+    """
+    from icl.models.nonvisual import mean_pool_tokens
+    from icl.ops.ce import onehot_ce
+
+    @jax.jit
+    def one(params, tok, ln, lab, valid):
+        pooled = mean_pool_tokens(table, tok, ln)
+        logits = model.apply({"params": params}, pooled, deterministic=True)
+        ce, _ = onehot_ce(logits, lab)
+        w = valid.astype(ce.dtype)
+        hits = (jnp.argmax(logits, -1) == lab) & valid
+        return (jnp.sum(ce * w), jnp.sum(hits.astype(jnp.float32)),
+                jnp.sum(w))
+
+    def eval_fn(state):
+        loss_sum = hits = nval = 0.0
+        for tok, ln, lab, valid in eval_batches:
+            ls, h, nv = one(state.params, tok, ln, lab, valid)
+            loss_sum += float(ls)
+            hits += float(h)
+            nval += float(nv)
+        return {"loss": loss_sum / max(nval, 1.0),
+                "acc": hits / max(nval, 1.0)}
+
+    return eval_fn
+
+
+def build_mention_eval_hook(args, model, table, mesh, task, emb,
+                            bucketizer) -> Callable | None:
+    """CLI glue for the mention tasks (mirrors build_eval_hook)."""
+    if not getattr(args, "eval_every", 0):
+        return None
+    if jax.process_count() > 1:
+        LOG.warning("--eval_every ignored: multi-process run")
+        return None
+    from icl.data.pipeline import load_mention_dataset
+    from icl.dist.mesh import shard_batch
+    try:
+        ds = load_mention_dataset(args.data_dir, args.eval_split, task, emb)
+    except FileNotFoundError as e:
+        LOG.warning("--eval_every ignored: eval split %r not loadable (%s)",
+                    args.eval_split, e)
+        return None
+    cap = max(getattr(args, "eval_batches", 16), 1)
+    arrays = {"token_ids": ds.token_ids, "lengths": ds.lengths,
+              "labels": ds.labels}
+    rng = np.random.default_rng(getattr(args, "seed", 0))
+    batches = []
+    for _, b in bucketizer.batches(ds.lengths, arrays, ds.ids,
+                                   shuffle_rng=rng):
+        batches.append(shard_batch(
+            (jnp.asarray(b.arrays["token_ids"]),
+             jnp.asarray(b.arrays["lengths"]),
+             jnp.asarray(b.arrays["labels"]),
+             jnp.asarray(b.valid)), mesh))
+        if len(batches) >= cap:
+            break
+    if not batches:
+        LOG.warning("--eval_every ignored: eval split %r is empty",
+                    args.eval_split)
+        return None
+    n = int(sum(np.asarray(v).sum() for *_, v in batches))
+    LOG.info("eval hook: %d batches (%d mentions) from %s every %d steps",
+             len(batches), n, args.eval_split, args.eval_every)
+    return make_mention_eval_fn(model, table, batches)

@@ -209,6 +209,16 @@ def test_eval_every_hook(cli_dir, tmp_path):
         for e in evals:
             assert np.isfinite(e["eval_loss"]) and 0 <= e["eval_acc"] <= 1
 
+    # mention-task flavor (nonvisual FFNN)
+    from icl.cli.nonvisual import main as nmain
+    mf = str(tmp_path / "nv.metrics.jsonl")
+    nmain(["--train", "--data_dir", cli_dir, "--epochs", "3",
+           "--batch_size", "32", "--hidden_width", "16", "--eval_every", "2",
+           "--metrics_file", mf,
+           "--model_file", str(tmp_path / "nv.eval.model")])
+    evals = [json.loads(l) for l in open(mf) if "eval_loss" in l]
+    assert evals and all(np.isfinite(e["eval_loss"]) for e in evals)
+
     # missing eval split → hook disabled, training still runs
     md = str(tmp_path / "noeval.model")
     rmain(["--train", "--data_dir", cli_dir, "--epochs", "1",
