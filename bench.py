@@ -464,6 +464,7 @@ def main():
                 "X | the head dot's O-minor output wasted 124/128 MXU "
                 "lanes; grid_head_pallas 0.261 -> 0.132 ms/call, predict "
                 "headline 9.4 -> 10.5M pairs/s |\n"
+                "| [r2] TG=8 images per program in the flat predict kernel | amortizes ~0.15 us/program Pallas grid overhead: grid_head_pallas 0.132 -> 0.117 ms/call; per-program gain too small to justify the same surgery on the loss kernels |\n"
                 "| [r2] host data path: threaded prefetch + train-mode batcher (no id-string/predict bookkeeping) + per-image padded-field cache | training was HOST-bound: batch assembly measured 5.1 ms (relation) / 9.9 ms (affinity) vs the 2.15 ms device step, and the old prefetch only buffered in-thread; now 1.8/1.9 ms steady-state and overlapped by a background thread |\n\n"
                 "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "

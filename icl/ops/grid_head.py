@@ -58,7 +58,7 @@ def _kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
     out_ref[0] = (out + b2_ref[:]).reshape(Ta, Tb, -1)
 
 
-def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
+def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref, *, tg):
     """Single-tile-per-image variant emitting TRANSPOSED [O, A·B] logits.
 
     Two wins over the tiled kernel (mirrors grid_head_train's flat loss
@@ -67,18 +67,23 @@ def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
     lanes at O=4), and the + b2 broadcast runs on ~2 vregs instead of
     ~N/8 quarter-empty ones.  The wrapper untransposes in XLA (a cheap
     [G,O,A,B] → [G,A,B,O] copy) to keep the public contract.
+
+    ``tg`` images per program (python-unrolled) amortize the per-program
+    grid overhead at small image tiles — G=128 single-image programs pay
+    ~1 µs each while the actual tile work is a fraction of that.
     """
-    x = x_ref[0]                                  # [Ap, K] (b1 folded)
-    y = y_ref[0]                                  # [Bp, K]
-    Ta, K = x.shape
-    Tb = y.shape[0]
-    h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
-    out_t = jax.lax.dot_general(                  # W2ᵀ · hdᵀ : [O, N]
-        w2_ref[:], h.reshape(Ta * Tb, K),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = out_t + b2_ref[:][:, None]
+    for t in range(tg):
+        x = x_ref[t]                              # [Ap, K] (b1 folded)
+        y = y_ref[t]                              # [Bp, K]
+        Ta, K = x.shape
+        Tb = y.shape[0]
+        h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
+        out_t = jax.lax.dot_general(              # W2ᵀ · hdᵀ : [O, N]
+            w2_ref[:], h.reshape(Ta * Tb, K),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[t] = out_t + b2_ref[:][:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("block_a", "block_b"))
@@ -108,21 +113,27 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     # whole [Ap,Bp,K] activation fits VMEM → transposed-output kernel
     if Ap * Bp * K * 4 <= 4 * 1024 * 1024:
         N = Ap * Bp
+        # largest image-group whose x/y blocks stay comfortably in VMEM
+        tg = 1
+        for cand in (8, 4, 2):
+            if G % cand == 0 and cand * (Ap + Bp) * K * 4 <= 2 * 1024 * 1024:
+                tg = cand
+                break
         out_t = pl.pallas_call(
-            _flat_kernel,
+            functools.partial(_flat_kernel, tg=tg),
             out_shape=jax.ShapeDtypeStruct((G, O, N), jnp.float32),
-            grid=(G,),
+            grid=(G // tg,),
             in_specs=[
-                pl.BlockSpec((1, Ap, K), lambda g: (g, 0, 0),
+                pl.BlockSpec((tg, Ap, K), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Bp, K), lambda g: (g, 0, 0),
+                pl.BlockSpec((tg, Bp, K), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, O), lambda g: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((O,), lambda g: (0,),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, O, N), lambda g: (g, 0, 0),
+            out_specs=pl.BlockSpec((tg, O, N), lambda g: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
             cost_estimate=pl.CostEstimate(
                 flops=2 * G * N * K * O + G * N * K * 2,
