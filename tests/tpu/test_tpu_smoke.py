@@ -27,9 +27,10 @@ def test_grid_head_kernel_on_tpu():
     _require_tpu()
     from icl.ops.grid_head import grid_head_pallas, grid_head_reference
     rng = np.random.default_rng(0)
-    # first shape takes the flat transposed-output fast path (whole image
-    # in VMEM); second exceeds the 4 MB activation gate → tiled kernel
-    for G, A, B, K, O in [(2, 16, 32, 256, 4), (2, 40, 136, 256, 4)]:
+    # shape 1: flat fast path at TG=2; shape 2: tiled kernel (>4 MB
+    # activation gate); shape 3: flat at TG=8 (the production batch case)
+    for G, A, B, K, O in [(2, 16, 32, 256, 4), (2, 40, 136, 256, 4),
+                          (16, 16, 16, 800, 4)]:
         X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32))
         Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32))
         b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
