@@ -11,6 +11,8 @@ Usage::
 
     icl-eval --task relation --scores dev.relation.scores \
              --feats dev.relation.feats
+    icl-eval --task grounding --scores dev.affinity.rank \
+             --feats dev.affinity.feats     # top-1 grounding accuracy
 """
 
 from __future__ import annotations
@@ -38,11 +40,45 @@ TASK_CLASSES = {
 }
 
 
+def _grounding_accuracy(ids, probs, gold) -> None:
+    """Top-1 grounding accuracy from a --rank_file output.
+
+    Groups per-(mention, box) ranking scores by mention, takes the
+    top-ranked box, and checks the gold affinity label of that cell —
+    the metric the reference's grounding pipeline (and its ILP) optimized
+    for, computable offline from the two files the pipeline already emits.
+    Mentions with no positive gold box are excluded (no groundable target).
+    """
+    best: dict[str, tuple[float, str]] = {}
+    for i, row in zip(ids, probs):
+        mention = i.rsplit(";box:", 1)[0]
+        score = float(row[0])
+        if mention not in best or score > best[mention][0]:
+            best[mention] = (score, i)
+    has_positive: dict[str, bool] = {}
+    for cid, lab in gold.items():
+        m = cid.rsplit(";box:", 1)[0]
+        has_positive[m] = has_positive.get(m, False) or bool(lab)
+    groundable = hits = 0
+    for mention, (_, cell_id) in sorted(best.items()):
+        if not has_positive.get(mention, False):
+            continue                      # nothing groundable: skip
+        groundable += 1
+        hits += gold.get(cell_id, 0)
+    if groundable == 0:
+        raise SystemExit("no groundable mentions in the gold feats")
+    sys.stdout.write(
+        f"Top-1 grounding accuracy: {hits / groundable * 100:.2f}% "
+        f"({hits}/{groundable} groundable mentions)\n")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(
         "icl-eval", description="ScoreDict P/R/F1 for a .scores file "
-                                "against gold .feats labels")
-    p.add_argument("--task", required=True, choices=sorted(TASK_CLASSES))
+                                "against gold .feats labels (or top-1 "
+                                "grounding accuracy for --task grounding)")
+    p.add_argument("--task", required=True,
+                   choices=sorted(TASK_CLASSES) + ["grounding"])
     p.add_argument("--scores", required=True, help=".scores file (§6.2)")
     p.add_argument("--feats", required=True,
                    help="gold .feats file (§6.1; labels + ids)")
@@ -51,10 +87,19 @@ def main(argv=None) -> None:
                         "missing from the other")
     args = p.parse_args(argv)
 
-    classes = TASK_CLASSES[args.task]
     ids, probs = read_scores(args.scores)
     if not ids:
         raise SystemExit(f"{args.scores}: no score lines")
+    if args.task == "grounding":
+        if probs.shape[1] != 1:
+            raise SystemExit(
+                f"{args.scores}: grounding expects a --rank_file "
+                f"(1 column), got {probs.shape[1]}")
+        gold = {ex.example_id: int(ex.label)
+                for ex in read_feats(args.feats)}
+        _grounding_accuracy(ids, probs, gold)
+        return
+    classes = TASK_CLASSES[args.task]
     if probs.shape[1] != len(classes):
         raise SystemExit(
             f"{args.scores}: {probs.shape[1]} classes, expected "

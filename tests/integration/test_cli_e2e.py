@@ -225,3 +225,31 @@ def test_eval_every_hook(cli_dir, tmp_path):
            "--lstm_hidden_width", "8", "--head_hidden", "16",
            "--images_per_batch", "2", "--eval_every", "2",
            "--eval_split", "nonexistent", "--model_file", md])
+
+
+def test_eval_grounding(capsys, tmp_path):
+    """--task grounding: top-1 grounding accuracy from a --rank_file and
+    gold affinity feats, hand-computable on known inputs."""
+    from icl.cli.evaluate import main as emain
+
+    def mid(m):
+        return f"doc:d.jpg;caption:0;mention:{m}"
+
+    sp = str(tmp_path / "g.rank")
+    fp = str(tmp_path / "g.feats")
+    # mention 0: top box=1 (0.7), gold positive at box 1 → hit
+    # mention 1: top box=0 (0.6), gold positive at box 2 → miss
+    # mention 2: no positive gold box → excluded
+    with open(sp, "w") as f:
+        rows = [(0, 0, 0.3), (0, 1, 0.7), (1, 0, 0.6), (1, 2, 0.4),
+                (2, 0, 0.5), (2, 1, 0.5)]
+        for m, b, p in rows:
+            f.write(f"{mid(m)};box:{b},{p:.6f}\n")
+    with open(fp, "w") as f:
+        gold = [(0, 0, 0), (0, 1, 1), (1, 0, 0), (1, 2, 1),
+                (2, 0, 0), (2, 1, 0)]
+        for m, b, lab in gold:
+            f.write(f"{lab} 1:1.0 # {mid(m)};box:{b}\n")
+    emain(["--task", "grounding", "--scores", sp, "--feats", fp])
+    out = capsys.readouterr().out
+    assert "Top-1 grounding accuracy: 50.00% (1/2" in out, out
