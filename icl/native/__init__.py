@@ -21,8 +21,10 @@ def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and os.environ.get(
-            "ICL_NO_NATIVE_BUILD") != "1":
+    if os.environ.get("ICL_NO_NATIVE_BUILD") != "1":
+        # always invoke make (incremental: a no-op when the .so is newer
+        # than the source) so a stale library from an older checkout never
+        # loads without the symbols this module registers below
         native_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                   "native")
         if os.path.exists(os.path.join(native_dir, "Makefile")):
@@ -30,7 +32,8 @@ def _load() -> ctypes.CDLL | None:
                 subprocess.run(["make", "-C", native_dir], check=True,
                                capture_output=True, timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -43,6 +46,14 @@ def _load() -> ctypes.CDLL | None:
     lib.feats_fill.restype = None
     lib.feats_free.restype = None
     lib.feats_free.argtypes = [ctypes.c_void_p]
+    lib.feats_parse_labels.restype = ctypes.c_void_p
+    lib.feats_parse_labels.argtypes = [ctypes.c_char_p]
+    for fn in ("featsl_num", "featsl_id_buffer_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.featsl_fill.restype = None
+    lib.featsl_free.restype = None
+    lib.featsl_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
     lib.w2v_load.restype = ctypes.c_void_p
     lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

@@ -49,6 +49,45 @@ def parse_feats_file(path: str):
     return out
 
 
+def parse_feats_labels(path: str):
+    """Labels-only parse: returns (ids list, labels float64 array) or None.
+
+    The dataset loaders consume only (id, label); skipping the sparse
+    feature columns keeps MSCOCO-scale loads fast and bounded
+    (native/icl_native.cpp feats_parse_labels)."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.feats_parse_labels(path.encode())
+    if not handle:
+        raise FileNotFoundError(path)
+    try:
+        n = int(lib.featsl_num(handle))
+        idlen = int(lib.featsl_id_buffer_size(handle))
+        labels = np.empty(max(n, 1), np.float64)
+        id_offsets = np.empty(max(n, 1), np.int64)
+        id_buffer = ctypes.create_string_buffer(max(idlen, 1))
+        lib.featsl_fill(
+            ctypes.c_void_p(handle),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            id_buffer,
+            id_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    finally:
+        lib.featsl_free(ctypes.c_void_p(handle))
+    raw = id_buffer.raw[:idlen]
+    if n and (id_offsets[:n] >= 0).all():
+        # common case (every line carries an id): one C-speed split
+        ids = raw.decode("utf-8").split("\0")[:n]
+    else:
+        ids = []
+        for i in range(n):
+            off = int(id_offsets[i])
+            ids.append("" if off < 0
+                       else raw[off:raw.index(b"\0", off)].decode("utf-8"))
+    return ids, labels[:n]
+
+
 def write_scores_native(path: str, ids: list[str], probs: np.ndarray) -> bool:
     """C++ fast path for .scores; returns False if native is unavailable."""
     lib = _load()

@@ -131,6 +131,90 @@ void feats_fill(void* h, double* labels, int32_t* row_offsets,
 
 void feats_free(void* h) { delete (FeatsData*)h; }
 
+// ---------------------------------------------------------------------------
+// Labels-only `.feats` parse: the relation/affinity/mention dataset loaders
+// consume only (example_id, label) — the sparse feature columns feed the
+// sklearn baseline path alone (SURVEY §4.1–4.4).  Skipping the idx:val
+// tokenisation makes the scan memchr-bound and avoids materialising the
+// nnz arrays at all, which is what keeps a 50k-image MSCOCO-scale split
+// load bounded in time and memory (VERDICT r2 missing#2).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FeatsLabels {
+  std::vector<double> labels;
+  std::string id_buffer;            // ids concatenated with '\0'
+  std::vector<int64_t> id_offsets;  // -1 when a line carried no id comment
+};
+
+}  // namespace
+
+void* feats_parse_labels(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (size > 0 && fread(&buf[0], 1, size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* d = new FeatsLabels();
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* line_end = nl ? nl : end;
+    const char* q = p;
+    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q < line_end && *q != '#') {     // not blank / comment-only
+      char* next = nullptr;
+      double label = strtod(q, &next);
+      if (next != q) {                   // malformed labels skip the line,
+        d->labels.push_back(label);      // matching parse_line above
+        const char* hash = (const char*)memchr(q, '#', line_end - q);
+        if (hash) {
+          ++hash;
+          while (hash < line_end && *hash == ' ') ++hash;
+          const char* id_end = line_end;
+          while (id_end > hash &&
+                 (id_end[-1] == ' ' || id_end[-1] == '\r')) --id_end;
+          d->id_offsets.push_back((int64_t)d->id_buffer.size());
+          d->id_buffer.append(hash, id_end - hash);
+          d->id_buffer.push_back('\0');
+        } else {
+          d->id_offsets.push_back(-1);
+        }
+      }
+    }
+    p = nl ? nl + 1 : end;
+  }
+  return d;
+}
+
+int64_t featsl_num(void* h) {
+  return (int64_t)((FeatsLabels*)h)->labels.size();
+}
+
+int64_t featsl_id_buffer_size(void* h) {
+  return (int64_t)((FeatsLabels*)h)->id_buffer.size();
+}
+
+void featsl_fill(void* h, double* labels, char* id_buffer,
+                 int64_t* id_offsets) {
+  auto* d = (FeatsLabels*)h;
+  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
+  memcpy(id_buffer, d->id_buffer.data(), d->id_buffer.size());
+  memcpy(id_offsets, d->id_offsets.data(),
+         d->id_offsets.size() * sizeof(int64_t));
+}
+
+void featsl_free(void* h) { delete (FeatsLabels*)h; }
+
 // Write a .scores file (§6.2): one "<id>,<p0>,...,<pC-1>\n" per row with
 // 6-decimal fixed formatting.  Returns 0 on success.
 int scores_write(const char* path, const char* const* ids, const double* probs,

@@ -20,7 +20,8 @@ def _image_with_m(m: int, img_id: str) -> RelationImage:
         img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
         m_first=m_first, m_last=m_last, pair_ij=pair_ij,
         pair_label=np.zeros(len(iu), np.int32),
-        pair_ids=[f"{img_id}#p{k}" for k in range(len(iu))])
+        pair_key=np.stack([np.zeros_like(iu), iu,
+                           np.zeros_like(ju), ju], 1).astype(np.int32))
 
 
 def test_bucket_of_overflow_rounds_up():

@@ -28,7 +28,8 @@ def _image(img_id, n_caps, cap_len, n_mentions):
         m_first=m_first, m_last=m_last,
         pair_ij=np.stack([iu, ju], 1).astype(np.int32),
         pair_label=np.zeros(len(iu), np.int32),
-        pair_ids=[f"{img_id}#p{k}" for k in range(len(iu))])
+        pair_key=np.stack([np.zeros_like(iu), iu,
+                           np.zeros_like(ju), ju], 1).astype(np.int32))
 
 
 def test_bounded_compiles_across_varied_shapes():

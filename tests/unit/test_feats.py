@@ -69,3 +69,27 @@ def test_python_native_equality(tmp_path, synth_dir):
         assert a.example_id == b.example_id and a.label == b.label
         assert a.indices.tolist() == b.indices.tolist()
         np.testing.assert_allclose(a.values, b.values, rtol=1e-6)
+
+
+def test_labels_only_python_native_equality(tmp_path, synth_dir):
+    """read_feats_labels (native + Python) ≡ full-parse (id, label) columns,
+    including no-id lines and stray comments."""
+    import os
+
+    from icl.io.feats import read_feats_labels
+
+    p = os.path.join(synth_dir, "train.relation.feats")
+    full = read_feats(p, use_native=False)
+    for use_native in (False, True):
+        ids, labels = read_feats_labels(p, use_native=use_native)
+        assert ids == [ex.example_id for ex in full]
+        np.testing.assert_allclose(labels,
+                                   [ex.label for ex in full], rtol=1e-12)
+    # edge cases the synth file lacks: id-less line, comment, trailing blank
+    p2 = str(tmp_path / "edge.feats")
+    with open(p2, "w") as f:
+        f.write("1 2:0.5\n# comment only\n\n0.25 1:1 # doc:x \n")
+    for use_native in (False, True):
+        ids, labels = read_feats_labels(p2, use_native=use_native)
+        assert ids == ["", "doc:x"]
+        assert labels.tolist() == [1.0, 0.25]
