@@ -24,7 +24,7 @@ import numpy as np
 
 from icl.data.pairs import RELATION_CLASSES
 from icl.eval.scoredict import ScoreDict
-from icl.io.feats import read_feats
+from icl.io.feats import read_feats_labels
 from icl.io.scores import read_scores
 from icl.models.affinity import AFFINITY_CLASSES
 from icl.models.cardinality import CARDINALITY_CLASSES
@@ -40,7 +40,7 @@ TASK_CLASSES = {
 }
 
 
-def _grounding_accuracy(ids, probs, gold) -> None:
+def _grounding_accuracy(ids, probs, gold, strict: bool = False) -> None:
     """Top-1 grounding accuracy from a --rank_file output.
 
     Groups per-(mention, box) ranking scores by mention, takes the
@@ -48,6 +48,11 @@ def _grounding_accuracy(ids, probs, gold) -> None:
     the metric the reference's grounding pipeline (and its ILP) optimized
     for, computable offline from the two files the pipeline already emits.
     Mentions with no positive gold box are excluded (no groundable target).
+
+    Id-drift hygiene (mirrors the classification join diagnostics): a
+    top-ranked cell id absent from gold, or a scored mention with no gold
+    cells at all, is reported — warned by default, a hard error under
+    ``--strict`` — instead of silently deflating the metric.
     """
     best: dict[str, tuple[float, str]] = {}
     for i, row in zip(ids, probs):
@@ -59,12 +64,25 @@ def _grounding_accuracy(ids, probs, gold) -> None:
     for cid, lab in gold.items():
         m = cid.rsplit(";box:", 1)[0]
         has_positive[m] = has_positive.get(m, False) or bool(lab)
+    no_gold = [m for m in best if m not in has_positive]
     groundable = hits = 0
+    unknown_cells: list[str] = []
     for mention, (_, cell_id) in sorted(best.items()):
         if not has_positive.get(mention, False):
             continue                      # nothing groundable: skip
         groundable += 1
-        hits += gold.get(cell_id, 0)
+        if cell_id in gold:
+            hits += gold[cell_id]
+        else:
+            unknown_cells.append(cell_id)  # counted as a miss, reported
+    if no_gold or unknown_cells:
+        example = (unknown_cells or no_gold)[0]
+        msg = (f"{len(no_gold)} scored mentions absent from gold, "
+               f"{len(unknown_cells)} top-ranked cells absent from gold "
+               f"(scored as misses); e.g. {example!r}")
+        if strict:
+            raise SystemExit(f"id mismatch: {msg}")
+        LOG.warning("id mismatch: %s", msg)
     if groundable == 0:
         raise SystemExit("no groundable mentions in the gold feats")
     sys.stdout.write(
@@ -95,16 +113,17 @@ def main(argv=None) -> None:
             raise SystemExit(
                 f"{args.scores}: grounding expects a --rank_file "
                 f"(1 column), got {probs.shape[1]}")
-        gold = {ex.example_id: int(ex.label)
-                for ex in read_feats(args.feats)}
-        _grounding_accuracy(ids, probs, gold)
+        gids, glabels = read_feats_labels(args.feats)
+        gold = {i: int(l) for i, l in zip(gids, glabels)}
+        _grounding_accuracy(ids, probs, gold, strict=args.strict)
         return
     classes = TASK_CLASSES[args.task]
     if probs.shape[1] != len(classes):
         raise SystemExit(
             f"{args.scores}: {probs.shape[1]} classes, expected "
             f"{len(classes)} for task {args.task!r}")
-    gold = {ex.example_id: int(ex.label) for ex in read_feats(args.feats)}
+    gids, glabels = read_feats_labels(args.feats)
+    gold = {i: int(l) for i, l in zip(gids, glabels)}
 
     missing_gold = [i for i in ids if i not in gold]
     scored = set(ids)

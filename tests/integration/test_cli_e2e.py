@@ -253,3 +253,38 @@ def test_eval_grounding(capsys, tmp_path):
     emain(["--task", "grounding", "--scores", sp, "--feats", fp])
     out = capsys.readouterr().out
     assert "Top-1 grounding accuracy: 50.00% (1/2" in out, out
+
+
+def test_eval_grounding_id_drift(capsys, tmp_path):
+    """Top-ranked cells absent from gold are warned about (and hard-error
+    under --strict) instead of silently scoring 0 (VERDICT r2 weak#5)."""
+    import pytest
+
+    from icl.cli.evaluate import main as emain
+
+    def mid(m):
+        return f"doc:d.jpg;caption:0;mention:{m}"
+
+    sp = str(tmp_path / "g.rank")
+    fp = str(tmp_path / "g.feats")
+    # mention 0: top box=3 is NOT in gold (drifted id) → miss + warning;
+    #   its other cell (box 1) IS gold-positive so the mention is groundable
+    # mention 1: top box=0, gold positive at 0 → clean hit
+    # mention 9: scored but entirely absent from gold → reported
+    with open(sp, "w") as f:
+        for m, b, p in [(0, 1, 0.3), (0, 3, 0.7), (1, 0, 0.9),
+                        (9, 0, 0.5)]:
+            f.write(f"{mid(m)};box:{b},{p:.6f}\n")
+    with open(fp, "w") as f:
+        for m, b, lab in [(0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 0)]:
+            f.write(f"{lab} 1:1.0 # {mid(m)};box:{b}\n")
+    emain(["--task", "grounding", "--scores", sp, "--feats", fp])
+    cap = capsys.readouterr()
+    # 2 groundable (mentions 0, 1); the drifted top cell counts as a miss
+    assert "Top-1 grounding accuracy: 50.00% (1/2" in cap.out, cap.out
+    # LOG writes to stderr (propagate=False, so capsys not caplog)
+    assert "1 scored mentions absent from gold" in cap.err, cap.err
+    assert "1 top-ranked cells absent from gold" in cap.err, cap.err
+    with pytest.raises(SystemExit, match="id mismatch"):
+        emain(["--task", "grounding", "--scores", sp, "--feats", fp,
+               "--strict"])
