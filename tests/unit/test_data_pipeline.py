@@ -206,3 +206,32 @@ def test_prefetch_abandoned_consumer_stops_worker():
         time.sleep(0.05)
     assert not any(t.name == "icl-batch-prefetch" and t.is_alive()
                    for t in threading.enumerate())
+
+
+def test_pad_cache_holds_two_batcher_specs(synth_dir, emb):
+    """Two batchers with different bucket specs over ONE dataset (train +
+    a differently-bucketed eval config) must both hit the per-image pad
+    cache after warm-up instead of thrashing a single entry
+    (VERDICT r2 weak#7)."""
+    ds = load_relation_dataset(synth_dir, "train", emb)
+    b1 = RelationBatcher(images_per_batch=4)
+    b2 = RelationBatcher(images_per_batch=4,
+                         len_spec=BucketSpec((8, 64)),
+                         mention_spec=BucketSpec((4, 32)))
+    for b in (b1, b2):                       # warm both cache entries
+        for _ in b.batches(ds):
+            pass
+    im = ds.images[0]
+    keys = list(im._pad_cache)
+    assert len(keys) == 2 and keys[0] != keys[1]
+    # alternating re-runs must be pure cache hits: identical object identity
+    f1 = b1._image_fields(im, keys[0])
+    f2 = b2._image_fields(im, keys[1])
+    assert b1._image_fields(im, keys[0]) is f1
+    assert b2._image_fields(im, keys[1]) is f2
+    # and the arrays agree with a cold rebuild
+    im2 = ds.images[0]
+    im2._pad_cache.clear()
+    cold = b2._image_fields(im2, keys[1])
+    for name, arr in f2.items():
+        np.testing.assert_array_equal(arr, cold[name])
