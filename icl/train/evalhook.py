@@ -33,20 +33,28 @@ def make_grid_eval_fn(model, table, eval_batches: list,
     in :func:`build_eval_hook`, then frozen), so successive evals are
     comparable point-to-point.
     """
-    if class_weights is not None and any(w <= 0 for w in class_weights):
-        # mirror make_relation_train_step's guard: grid-form metrics count
-        # weight>0 cells, so a zero class weight would drop that class from
-        # the eval accuracy denominator — evaluate unweighted instead
-        LOG.warning("eval hook: class weight <= 0 — evaluating with "
-                    "uniform weights so accuracy counts every valid cell "
-                    "(eval_loss is unweighted CE)")
-        class_weights = None
+    # A class weight <= 0 makes grid-form metrics degenerate (the kernel
+    # derives validity from weight > 0, so that class would drop out of the
+    # accuracy denominator).  The train step keeps the weights and falls
+    # back to the pair-form loss; eval mirrors that weighting — eval_loss
+    # stays point-comparable to the train loss — and recovers the
+    # all-valid-cells accuracy from a second, uniform-weight apply
+    # (eval-only cost, ADVICE r2 #2).
+    degenerate = (class_weights is not None
+                  and any(w <= 0 for w in class_weights))
+    if degenerate:
+        LOG.warning("eval hook: class weight <= 0 — eval_loss keeps the "
+                    "train weighting; accuracy is computed from a second "
+                    "uniform-weight pass so every valid cell counts")
     cw = (None if class_weights is None
           else jnp.asarray(class_weights, jnp.float32))
     prepared = []
     for jb in eval_batches:
         weights = _cell_weights(jb["grid_label"], jb["grid_valid"], cw)
-        prepared.append((jb, jb["grid_label"], weights,
+        uniform = (None if not degenerate
+                   else _cell_weights(jb["grid_label"], jb["grid_valid"],
+                                      None))
+        prepared.append((jb, jb["grid_label"], weights, uniform,
                          float(jnp.sum(weights))))
 
     @jax.jit
@@ -57,8 +65,10 @@ def make_grid_eval_fn(model, table, eval_batches: list,
     def eval_fn(state):
         loss_sum = hits = nval = 0.0
         wsum = 0.0
-        for jb, labels, weights, w in prepared:
+        for jb, labels, weights, uniform, w in prepared:
             ls, h, nv = one(state.params, jb, labels, weights)
+            if uniform is not None:
+                _, h, nv = one(state.params, jb, labels, uniform)
             loss_sum += float(ls)
             hits += float(h)
             nval += float(nv)
