@@ -198,3 +198,122 @@ def test_bad_requests(served):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_oversized_body_rejected_without_reading(served):
+    """Bodies above max_body_bytes get 413 WITHOUT being read (bounded
+    memory under an oversized-request flood) and the server stays healthy
+    (VERDICT r2 missing#4)."""
+    url, httpd = served
+    handler = httpd.RequestHandlerClass
+    old = handler.max_body_bytes
+    handler.max_body_bytes = 1024
+    try:
+        big = {"mentions": [{"id": "m", "tokens": ["w001"] * 2000}]}
+        status, body = _post(url, "/score/nonvisual", big)
+        assert status == 413 and "exceeds" in body["error"]
+    finally:
+        handler.max_body_bytes = old
+    # healthy after
+    with urllib.request.urlopen(url + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_too_many_items_rejected(served):
+    url, httpd = served
+    handler = httpd.RequestHandlerClass
+    old = handler.max_items
+    handler.max_items = 3
+    try:
+        status, body = _post(url, "/score/nonvisual", {
+            "mentions": [{"id": f"m{k}", "tokens": ["w001"]}
+                         for k in range(4)]})
+        assert status == 413 and "limit" in body["error"]
+        status, _ = _post(url, "/score/nonvisual", {
+            "mentions": [{"id": f"m{k}", "tokens": ["w001"]}
+                         for k in range(3)]})
+        assert status == 200
+    finally:
+        handler.max_items = old
+
+
+def test_queue_overload_returns_503(served):
+    """Submits past the bounded coalescer queue get a clean 503 +
+    Retry-After; accepted work completes; the server is healthy after."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    co = scorer.coalescer
+    assert co is not None
+    old_pending, old_window = co.max_pending, co.window
+    co.max_pending = 2
+    co.window = 0.4          # hold the queue long enough to overflow it
+    results = [None] * 6
+
+    def fire(k):
+        img = {"id": f"o{k}", "captions": [["w001", "w002"]],
+               "mentions": [{"caption": 0, "first": 0, "last": 1},
+                            {"caption": 0, "first": 1, "last": 1}]}
+        results[k] = _post(url, "/score/relation", {"images": [img]})
+
+    try:
+        threads = [threading.Thread(target=fire, args=(k,))
+                   for k in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+    finally:
+        co.max_pending, co.window = old_pending, old_window
+    codes = sorted(r[0] for r in results if r is not None)
+    assert len(codes) == 6
+    assert 503 in codes, codes           # overflow rejected cleanly
+    assert 200 in codes, codes           # admitted work still completed
+    for r in results:
+        if r[0] == 503:
+            assert "queue full" in r[1]["error"]
+    with urllib.request.urlopen(url + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_coalesced_failure_is_isolated(served):
+    """A payload that fails on-device inside a coalesced group must fail
+    ONLY its own request; co-batched requests rescore individually and
+    succeed (VERDICT r2 weak#6)."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    co = scorer.coalescer
+    assert co is not None
+    t = scorer.tasks["relation"]
+    real = t["predict"]
+    poison_tok = int(scorer.emb.encode_tokens(["w050"], 2)[0][0])
+
+    def stub(params, table, batch):
+        if bool(np.any(np.asarray(batch["tokens"]) == poison_tok)):
+            raise ValueError("poisoned image (simulated device error)")
+        return real(params, table, batch)
+
+    t["predict"] = stub
+    old_window = co.window
+    co.window = 0.4
+    results = {}
+
+    def fire(name, caption):
+        img = {"id": name, "captions": [caption],
+               "mentions": [{"caption": 0, "first": 0, "last": 1},
+                            {"caption": 0, "first": 1, "last": 1}]}
+        results[name] = _post(url, "/score/relation", {"images": [img]})
+
+    try:
+        threads = [
+            threading.Thread(target=fire, args=("clean", ["w001", "w002"])),
+            threading.Thread(target=fire, args=("bad", ["w050", "w002"])),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+    finally:
+        t["predict"] = real
+        co.window = old_window
+    assert results["clean"][0] == 200, results["clean"]
+    assert results["bad"][0] == 400 and "poisoned" in results["bad"][1]["error"]
