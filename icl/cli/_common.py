@@ -57,7 +57,7 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "measured 2.2e-5 vs the oracle, 45%% faster than "
                         "'highest') for --predict and 'default' for --train")
     p.add_argument("--eval_every", type=int, default=0,
-                   help="relation/affinity train: every N steps, compute "
+                   help="train (all four tasks): every N steps, compute "
                         "deterministic loss/acc over (a capped sample of) "
                         "--eval_split and log it (JSONL eval_* keys) - "
                         "the reference's Keras validation monitoring. "
@@ -169,6 +169,23 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
     args = p.parse_args(argv)
     args.buckets = buckets
     return args
+
+
+def require_single_process(what: str = "predict") -> None:
+    """Hard-error instead of silently duplicating work on a pod.
+
+    Predict builds full host batches, shards them on the global mesh, and
+    writes `.scores` once — under ``process_count > 1`` every host would
+    either fail on non-addressable shards or write the same file N times.
+    Mirrors the evalhook's multi-process guard (icl/train/evalhook.py);
+    SURVEY §3.4: multi-host is a *training* throughput feature."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise SystemExit(
+            f"icl: --{what} is single-process — run it on one host without "
+            "--process_id (multi-host distribution applies to --train only; "
+            "a trained checkpoint predicts fine from a single host)")
 
 
 def resolve_compute_dtype(args):

@@ -54,6 +54,8 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                                jnp.asarray(ds.lengths[:1]))
     state = create_train_state(model, (pooled0,), seed=args.seed,
                                learn_rate=args.learn_rate)
+    # committed replicated placement (see icl/cli/relation.py)
+    state = replicate(state, rt.mesh)
     model_dir = default_model_dir(args, task)
 
     bs = args.batch_size
@@ -70,34 +72,51 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         step = make_mention_train_step()
 
         def make_batches(epoch_rng, skip=0):
+            multi = jax.process_count() > 1
+            if multi:
+                # mention batches are cheap to assemble, so every host
+                # builds the (rng-deterministic, hence identical) global
+                # batch and contributes just its own row slice — same
+                # global arrays as shard_batch, no non-addressable puts
+                from icl.dist.mesh import local_data_rows, shard_batch_local
+                lo, hi = local_data_rows(rt.mesh, bs)
             for _, b in bz.batches(ds.lengths, arrays, ds.ids,
                                    shuffle_rng=epoch_rng, skip=skip):
-                yield shard_batch(
-                    (jnp.asarray(b.arrays["token_ids"]),
-                     jnp.asarray(b.arrays["lengths"]),
-                     jnp.asarray(b.arrays["labels"]),
-                     jnp.asarray(b.valid)), rt.mesh)
+                tup = (b.arrays["token_ids"], b.arrays["lengths"],
+                       b.arrays["labels"], b.valid)
+                if multi:
+                    yield shard_batch_local(
+                        tuple(np.asarray(a)[lo:hi] for a in tup),
+                        rt.mesh, bs)
+                else:
+                    yield shard_batch(tuple(jnp.asarray(a) for a in tup),
+                                      rt.mesh)
 
         from icl.train.evalhook import build_mention_eval_hook
         eval_fn = build_mention_eval_hook(args, model, table, rt.mesh,
                                           task, emb, bz)
-        dump_run_config(args, model_dir)
+        from icl.dist.mesh import is_main_process
+        if is_main_process():
+            dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed,
-                         eval_every=args.eval_every)
+                         eval_every=args.eval_every, mesh=rt.mesh)
         state = run_training(state, lambda s, *a: step(s, table, *a),
                              make_batches, cfg, eval_fn=eval_fn)
-        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
-            json.dump({"task": task, "hidden": hidden,
-                       "num_classes": len(classes),
-                       "dropout": args.dropout}, f)
+        if is_main_process():
+            with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+                json.dump({"task": task, "hidden": hidden,
+                           "num_classes": len(classes),
+                           "dropout": args.dropout}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)
         return
 
     # --predict
+    from icl.cli._common import require_single_process
+    require_single_process("predict")
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:
@@ -125,7 +144,6 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         _consume(*pending)
     probs = np.stack([probs_by_id[eid] for eid in ds.ids])
     if args.oracle_parity or args.oracle_parity_full:
-        import jax
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_ffnn
         n = len(ds.ids) if args.oracle_parity_full else min(len(ds.ids), 256)

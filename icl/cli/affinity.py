@@ -106,6 +106,8 @@ def main(argv=None) -> None:
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),
                                seed=args.seed, learn_rate=args.learn_rate)
+    # committed replicated placement (see icl/cli/relation.py)
+    state = replicate(state, rt.mesh)
     model_dir = default_model_dir(args, "affinity")
 
     if args.train:
@@ -131,26 +133,31 @@ def main(argv=None) -> None:
             args, model, table, rt.mesh,
             lambda d, sp: load_affinity_dataset(d, sp, emb),
             batcher)
-        dump_run_config(args, model_dir)
+        from icl.dist.mesh import is_main_process
+        if is_main_process():
+            dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed,
-                         eval_every=args.eval_every)
+                         eval_every=args.eval_every, mesh=rt.mesh)
         state = run_training(state, lambda s, b: step(s, table, b),
                              make_batches, cfg, eval_fn=eval_fn)
-        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
-            json.dump({"task": "affinity",
-                       "lstm_hidden": args.lstm_hidden_width,
-                       "head_hidden": args.head_hidden,
-                       "dropout": args.dropout,
-                       "phrase_enc": args.phrase_enc,
-                       "compute_dtype": args.compute_dtype,
-                       "box_dim": ds.box_dim}, f)
+        if is_main_process():
+            with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+                json.dump({"task": "affinity",
+                           "lstm_hidden": args.lstm_hidden_width,
+                           "head_hidden": args.head_hidden,
+                           "dropout": args.dropout,
+                           "phrase_enc": args.phrase_enc,
+                           "compute_dtype": args.compute_dtype,
+                           "box_dim": ds.box_dim}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)
         return
 
+    from icl.cli._common import require_single_process
+    require_single_process("predict")
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:

@@ -93,6 +93,10 @@ def main(argv=None) -> None:
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
     state = create_train_state(model, (jnp.asarray(emb.table), jb0),
                                seed=args.seed, learn_rate=args.learn_rate)
+    # commit the (identically-seeded) state to the mesh as replicated global
+    # arrays — a multi-process jit rejects process-local inputs, and the
+    # explicit placement is what the library-level DP tests always did
+    state = replicate(state, rt.mesh)
     model_dir = default_model_dir(args, "relation")
 
     if args.train:
@@ -122,24 +126,29 @@ def main(argv=None) -> None:
             args, model, table, rt.mesh,
             lambda d, sp: load_relation_dataset(d, sp, emb),
             batcher, class_weights=[args.null_weight, 1.0, 1.0, 1.0])
-        dump_run_config(args, model_dir)
+        from icl.dist.mesh import is_main_process
+        if is_main_process():
+            dump_run_config(args, model_dir)
         cfg = LoopConfig(epochs=args.epochs, ckpt_dir=model_dir,
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed,
-                         eval_every=args.eval_every)
+                         eval_every=args.eval_every, mesh=rt.mesh)
         state = run_training(state, lambda s, b: step(s, table, b),
                              make_batches, cfg, eval_fn=eval_fn)
-        with open(os.path.join(model_dir, "model_config.json"), "w") as f:
-            json.dump({"task": "relation",
-                       "lstm_hidden": args.lstm_hidden_width,
-                       "head_hidden": args.head_hidden,
-                       "dropout": args.dropout,
-                       "compute_dtype": args.compute_dtype}, f)
+        if is_main_process():
+            with open(os.path.join(model_dir, "model_config.json"), "w") as f:
+                json.dump({"task": "relation",
+                           "lstm_hidden": args.lstm_hidden_width,
+                           "head_hidden": args.head_hidden,
+                           "dropout": args.dropout,
+                           "compute_dtype": args.compute_dtype}, f)
         LOG.info("trained to step %d; checkpoints in %s",
                  int(state.step), model_dir)
         return
 
+    from icl.cli._common import require_single_process
+    require_single_process("predict")
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:

@@ -54,6 +54,14 @@ def data_axis_size(mesh: Mesh) -> int:
     return mesh.shape[DATA_AXIS]
 
 
+def is_main_process() -> bool:
+    """True on the process that owns run artifacts (checkpoints, metrics,
+    config dumps).  Single-process runs are always main; on a pod exactly
+    one host writes so N processes sharing a model dir cannot race each
+    other (SURVEY §5.3–5.6 multi-host safety)."""
+    return jax.process_index() == 0
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a pytree of host arrays with the leading axis sharded on 'data'.
 

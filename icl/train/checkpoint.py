@@ -7,6 +7,17 @@ orbax, and ``--resume auto`` restores the latest checkpoint so a killed run
 continues exactly (fault-tolerance test: tests/integration/test_resume.py).
 The downstream contract is unaffected: `.scores` files remain the only
 artifact the Java ILP consumes (SURVEY §5.4).
+
+Multi-host (SURVEY §3.4): the standard orbax multihost arrangement — EVERY
+process calls :meth:`Checkpointer.save`/:meth:`restore` at the same steps
+(orbax synchronizes processes around each step directory, so a
+process-0-only call would deadlock the barrier), and orbax's primary-host
+logic makes process 0 the single writer: numpy payloads are persisted once,
+never raced, even with N pod processes sharing one model dir.  The model
+dir must be on storage all hosts can read; restored arrays are
+process-local numpy and the caller re-places them on the mesh
+(icl.train.loop re-replicates after restore).  Proven across real process
+boundaries by tests/dist/test_cli_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -35,6 +46,9 @@ class Checkpointer:
     def save(self, state: TrainState, wait: bool = False,
              epoch: int = 0, batch_in_epoch: int = 0,
              force: bool = False) -> None:
+        # NOTE: called on every process — orbax's save barriers span all
+        # processes, and its primary-host logic keeps process 0 the single
+        # writer of the replicated-numpy payload (module docstring)
         payload = {
             "params": jax.tree.map(np.asarray, state.params),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),

@@ -40,6 +40,8 @@ class LoopConfig:
     metrics_path: str | None = None
     seed: int = 0
     eval_every: int = 0           # steps between dev evals (0: off)
+    mesh: object | None = None    # re-places restored state (multi-process
+                                  # restores yield process-local arrays)
 
 
 def prefetch(iterator, depth: int = 2):
@@ -108,6 +110,8 @@ def run_training(state: TrainState, step_fn: Callable,
     logged and appended to the JSONL stream under ``eval_*`` keys —
     the reference's Keras ``fit(validation_data=...)`` monitoring
     (SURVEY §2.1 model layer) as a loop hook."""
+    from icl.dist.mesh import is_main_process, replicate
+
     ckpt = Checkpointer(cfg.ckpt_dir) if cfg.ckpt_dir else None
     start_epoch = start_batch = 0
     if ckpt and cfg.resume == "auto":
@@ -117,9 +121,17 @@ def run_training(state: TrainState, step_fn: Callable,
             LOG.info("resumed from checkpoint at step %d "
                      "(epoch %d, batch %d)", int(state.step),
                      start_epoch, start_batch)
+            if cfg.mesh is not None:
+                # restore materializes host-local arrays on every process;
+                # re-place them as committed replicated mesh arrays (a
+                # multi-process jit rejects process-local inputs)
+                state = replicate(state, cfg.mesh)
 
+    # artifact writes (metrics JSONL; checkpoint saves gate themselves in
+    # Checkpointer.save) happen on the coordinator only — N pod processes
+    # sharing a model dir must not interleave one stream (SURVEY §5.5)
     metrics_f = None
-    if cfg.metrics_path:
+    if cfg.metrics_path and is_main_process():
         os.makedirs(os.path.dirname(os.path.abspath(cfg.metrics_path)),
                     exist_ok=True)
         metrics_f = open(cfg.metrics_path, "a", encoding="utf-8")
@@ -141,6 +153,13 @@ def run_training(state: TrainState, step_fn: Callable,
         supports_skip = "skip" in inspect.signature(make_batches).parameters
         t_last = time.perf_counter()
         ex_since = 0
+        # host-side mirror of state.step: every step_fn increments by
+        # exactly 1 (TrainState.apply_gradients), so reading the device
+        # scalar back each iteration would only add a per-step host sync —
+        # ~30 ms/step through a relay link vs the ~2 ms device step.  The
+        # mirror keeps the dispatch queue full; device work is only forced
+        # at log/eval/checkpoint points.
+        step = int(state.step)
         for epoch in range(start_epoch, cfg.epochs):
             epoch_rng = np.random.default_rng(
                 np.random.SeedSequence([cfg.seed, epoch]))
@@ -156,13 +175,19 @@ def run_training(state: TrainState, step_fn: Callable,
                 if not supports_skip and batch_in_epoch <= skip:
                     continue
                 state, metrics = step_fn(state, *args)
-                step = int(state.step)
-                ex_since += _batch_examples(args)
+                step += 1
+                ex_since += 1
                 if step % cfg.log_every == 0:
+                    # examples/sec is advisory: sampling THIS batch's valid
+                    # count (× steps since last log) happens at the same
+                    # point the loss read already syncs the device, so the
+                    # hot loop itself stays fetch-free (no per-step
+                    # host↔device round-trip — ~30 ms each over a relay)
                     loss = float(metrics["loss"])
                     acc = float(metrics.get("acc", np.nan))
                     now = time.perf_counter()
-                    rate = ex_since / max(now - t_last, 1e-9)
+                    rate = _batch_examples(args) * ex_since / max(
+                        now - t_last, 1e-9)
                     t_last, ex_since = now, 0
                     LOG.info("epoch %d step %d loss %.4f acc %.3f (%.0f ex/s)",
                              epoch, step, loss, acc, rate)
@@ -199,13 +224,27 @@ def run_training(state: TrainState, step_fn: Callable,
     return state
 
 
+def _valid_sum(x) -> int:
+    """Sum a (possibly multi-process global) validity mask for logging.
+
+    A globally-sharded array's full value is not fetchable from one process;
+    sum the local shards and scale by the global/local device ratio — an
+    estimate exact under balanced sharding (contiguous equal row blocks,
+    icl.dist.mesh), and advisory either way (examples/sec logging only)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = x.addressable_shards
+        local = sum(int(np.asarray(s.data).sum()) for s in shards)
+        return local * (x.sharding.num_devices // max(len(shards), 1))
+    return int(np.asarray(x).sum())
+
+
 def _batch_examples(args: tuple) -> int:
     """Best-effort example count for throughput logging."""
     for a in args:
         if isinstance(a, dict):
             for key in ("pair_valid", "grid_valid"):
                 if key in a:
-                    return int(np.asarray(a[key]).sum())
+                    return _valid_sum(a[key])
         elif getattr(a, "dtype", None) == bool:
-            return int(np.asarray(a).sum())
+            return _valid_sum(a)
     return 0
