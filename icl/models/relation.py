@@ -45,6 +45,39 @@ def gather_mention_reps(enc: jnp.ndarray, m_cap: jnp.ndarray,
     return jnp.concatenate([first_rep, last_rep], axis=-1)
 
 
+def gather_mention_reps_scan(hs: jnp.ndarray, C: int, m_cap: jnp.ndarray,
+                             m_first: jnp.ndarray,
+                             m_last: jnp.ndarray) -> jnp.ndarray:
+    """Scan-form twin of :func:`gather_mention_reps` — negative result #5.
+
+    hs is the BiLSTM recurrence ys buffer [L, 2, I·C, H] (``scan_form=True``):
+    fwd state at position p lives at ``hs[p, 0]``, bwd state at position p at
+    ``hs[L-1-p, 1]`` (the backward direction scans the time-reversed copy).
+    Gathers the same four H-slices in the same pinned concat order
+    ``[fwd@first; bwd@first; fwd@last; bwd@last]`` as the [I,C,L,2H] path
+    (bit-identical, see tests/unit/test_rnn_scan_form.py), so the [B,L,2H]
+    transpose/reverse/concat materialization never exists.  Kept as a
+    DOCUMENTED NEGATIVE RESULT, not wired into RelationModel: on the v5e
+    bench shapes this traced 2.21 ms/step (and a [L,B,2H] concat-reverse
+    middle ground 2.22) vs 2.15 for the materializing path — the backward
+    scan absorbs the 4-way cotangent scatter-add and loses more than the
+    relayout copies cost (see the note in RelationModel.__call__).
+    """
+    L, G, B, H = hs.shape
+    I = B // C
+    flat = hs.reshape(L * G * B, H)
+    img_off = (jnp.arange(I, dtype=jnp.int32) * C)[:, None]      # [I,1]
+    row = img_off + m_cap                                        # [I,M]
+    bwd_first = (L - 1 - m_first) * (G * B) + B + row
+    bwd_last = (L - 1 - m_last) * (G * B) + B + row
+    return jnp.concatenate([
+        jnp.take(flat, m_first * (G * B) + row, axis=0),         # fwd@first
+        jnp.take(flat, bwd_first, axis=0),                       # bwd@first
+        jnp.take(flat, m_last * (G * B) + row, axis=0),          # fwd@last
+        jnp.take(flat, bwd_last, axis=0),                        # bwd@last
+    ], axis=-1)                                                  # [I,M,4H]
+
+
 def gather_pair_reps(mention_reps: jnp.ndarray, pair_ij: jnp.ndarray) -> jnp.ndarray:
     """[I,M,R] mention reps + [I,P,2] index pairs → [I,P,2R] pair vectors."""
     I, M, R = mention_reps.shape
@@ -104,6 +137,14 @@ class RelationModel(nn.Module):
         # (near compute-bound) while the tiled Pallas recurrence
         # (icl.ops.lstm_kernel) is 1.7x slower: VMEM limits batch tiles to
         # 32 rows (quarter-MXU GEMMs) and grid programs serialize.
+        # Negative result #5 (r3): consuming the recurrence ys buffer in
+        # scan form (BiLSTM(scan_form=True) + gather_mention_reps_scan, or
+        # a [L,B,2H] concat-reverse intermediate) to kill the r2-flagged
+        # scan-buffer relayout copies traced 2.21 / 2.22 ms/step vs this
+        # path's 2.15 ms on the bench shapes: the backward scan absorbs the
+        # mention-cotangent scatters and grows more than the transposes
+        # cost.  XLA's layout for the [B,L,2H] materialization is already
+        # near-optimal from the outside.
         enc_flat, _ = BiLSTM(self.lstm_hidden, compute_dtype=self.compute_dtype,
                              unroll=self.lstm_unroll,
                              name="caption_bilstm")(x, tok_len.reshape(I * C))

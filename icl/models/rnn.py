@@ -228,6 +228,15 @@ class BiLSTM(nn.Module):
     unroll: int = 1   # scan unroll knob (measured neutral-to-negative on v5e)
     use_kernel: bool = False   # r1 tiled Pallas recurrence (negative result)
     stream_kernel: bool = False  # r2 DMA-streaming recurrence (neg. result)
+    # scan_form=True returns the recurrence ys buffer [L,2,B,H] untouched
+    # (fwd at [t,0], bwd at [t,1] = original position L-1-t) instead of the
+    # [B,L,2H] transpose/reverse/concat, letting consumers gather positions
+    # straight from scan coordinates.  NEGATIVE RESULT #5 on v5e: the
+    # relation model consuming this (gather_mention_reps_scan) traced
+    # 2.21 ms/step vs 2.15 for the materializing path — the backward scan
+    # absorbs the cotangent scatters and outgrows the relayout-copy
+    # savings.  Kept (with a bit-identity test) as the measured record.
+    scan_form: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
@@ -272,8 +281,10 @@ class BiLSTM(nn.Module):
         # both directions in one G=2 custom-VJP recurrence: one sequential
         # chain forward AND backward, dR/dW/dx as single big GEMMs
         hs, h_final = lstm_recurrence(xs_t, R2, mask2, self.unroll)
+        fin = jnp.concatenate([h_final[0], h_final[1]], axis=-1)
+        if self.scan_form:
+            return hs, fin                                     # [L,2,B,H]
         fwd_seq = jnp.transpose(hs[:, 0], (1, 0, 2))           # [B,L,H]
         bwd_seq = jnp.transpose(hs[:, 1], (1, 0, 2))[:, ::-1]
         seq = jnp.concatenate([fwd_seq, bwd_seq], axis=-1)
-        fin = jnp.concatenate([h_final[0], h_final[1]], axis=-1)
         return seq, fin
