@@ -88,6 +88,7 @@ def bench_relation_tpu(images: int, nbatches: int, fused: bool, dtype: str):
                                    L=L, M=M, vocab=VOCAB)
           for s in range(nbatches)])
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # frozen w2v table ships in compute dtype
     model = RelationModel(lstm_hidden=LSTM_H, head_hidden=HEAD_H,
                           compute_dtype=cd, fused=fused)
     one = jax.tree.map(lambda x: x[0], stacked)
@@ -175,6 +176,7 @@ def bench_affinity_tpu(images: int, nbatches: int, fused: bool, dtype: str):
                            *[one_batch(s) for s in range(nbatches)])
     one = jax.tree.map(lambda x: x[0], stacked)
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # frozen w2v table ships in compute dtype
     model = AffinityModel(lstm_hidden=LSTM_H, head_hidden=1024,
                           compute_dtype=cd, fused=fused)
     params = model.init(jax.random.PRNGKey(0), table, one)["params"]
@@ -224,6 +226,7 @@ def bench_relation_train(images: int, nbatches: int, dtype: str,
           for s in range(nbatches)])
     one = jax.tree.map(lambda x: x[0], stacked)
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # frozen w2v table ships in compute dtype
     model = RelationModel(lstm_hidden=LSTM_H, head_hidden=HEAD_H,
                           compute_dtype=cd, fused=fused)
     state = create_train_state(model, (table, one), seed=0)
@@ -269,6 +272,7 @@ def bench_affinity_train(images: int, nbatches: int, dtype: str,
           for s in range(nbatches)])
     one = jax.tree.map(lambda x: x[0], stacked)
     cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # frozen w2v table ships in compute dtype
     model = AffinityModel(lstm_hidden=LSTM_H, head_hidden=1024,
                           compute_dtype=cd, fused=fused)
     state = create_train_state(model, (table, one), seed=0)

@@ -59,7 +59,10 @@ def main(argv=None) -> None:
                       num_processes=args.num_processes,
                       process_id=args.process_id)
     emb = load_embeddings(args)
-    table = replicate(jnp.asarray(emb.table), rt.mesh)
+    # frozen w2v table ships in compute dtype (bit-identical to the model's
+    # former per-step astype-after-gather; see icl/cli/relation.py note)
+    table = replicate(jnp.asarray(emb.table,
+                                  dtype=resolve_compute_dtype(args)), rt.mesh)
     ds = load_affinity_dataset(args.data_dir, args.data_split, emb)
     LOG.info("affinity %s: %d images, %d cells", args.data_split,
              len(ds.images), ds.num_cells)
@@ -104,7 +107,7 @@ def main(argv=None) -> None:
                                  or args.dropout == 0.0))
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
-    state = create_train_state(model, (jnp.asarray(emb.table), jb0),
+    state = create_train_state(model, (table, jb0),
                                seed=args.seed, learn_rate=args.learn_rate)
     # committed replicated placement (see icl/cli/relation.py)
     state = replicate(state, rt.mesh)

@@ -42,6 +42,7 @@ def main():
     table = jnp.asarray(
         rng.normal(size=(bench.VOCAB, bench.DIM)).astype(np.float32) * 0.1)
     cd = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # matches the CLI: table ships in compute dtype
 
     if args.task == "relation":
         from icl.models import RelationModel
