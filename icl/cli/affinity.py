@@ -61,8 +61,8 @@ def main(argv=None) -> None:
     emb = load_embeddings(args)
     # frozen w2v table ships in compute dtype (bit-identical to the model's
     # former per-step astype-after-gather; see icl/cli/relation.py note)
-    table = replicate(jnp.asarray(emb.table,
-                                  dtype=resolve_compute_dtype(args)), rt.mesh)
+    compute_dtype = resolve_compute_dtype(args)
+    table = replicate(jnp.asarray(emb.table, dtype=compute_dtype), rt.mesh)
     ds = load_affinity_dataset(args.data_dir, args.data_split, emb)
     LOG.info("affinity %s: %d images, %d cells", args.data_split,
              len(ds.images), ds.num_cells)
@@ -73,7 +73,6 @@ def main(argv=None) -> None:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)
     import jax.numpy as _jnp
-    compute_dtype = resolve_compute_dtype(args)
     if compute_dtype == _jnp.bfloat16:
         import ml_dtypes
         box_np_dtype = ml_dtypes.bfloat16
@@ -224,7 +223,6 @@ def main(argv=None) -> None:
                 break
         report_parity(max_diff)
     # write in dataset order: per image, mention-major over valid cells
-    from icl.data.pipeline import make_affinity_id
     from icl.io.captions import parse_mention_id
     order = []
     for im in ds.images:
@@ -232,7 +230,7 @@ def main(argv=None) -> None:
             img, ci, mi = parse_mention_id(mid)
             for c, bi in enumerate(im.box_idx):
                 if im.grid_valid[r, c]:
-                    order.append(make_affinity_id(img, ci, mi, bi))
+                    order.append(im.cell_id(ci, mi, bi))
     out = np.stack([probs_by_id[cid] for cid in order])
     scores_path = default_scores_path(args, "affinity")
     write_scores(scores_path, order, out, class_order=AFFINITY_CLASSES,

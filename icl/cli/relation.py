@@ -62,8 +62,8 @@ def main(argv=None) -> None:
     # at GoogleNews scale).  Step time is unchanged on the bench shapes —
     # XLA already fused the convert into the gather pass (r3 trace) — this
     # is a memory/capacity change, not a speed one.
-    table = replicate(jnp.asarray(emb.table,
-                                  dtype=resolve_compute_dtype(args)), rt.mesh)
+    compute_dtype = resolve_compute_dtype(args)
+    table = replicate(jnp.asarray(emb.table, dtype=compute_dtype), rt.mesh)
     ds = load_relation_dataset(args.data_dir, args.data_split, emb)
     LOG.info("relation %s: %d images, %d pairs", args.data_split,
              len(ds.images), ds.num_pairs)
@@ -92,7 +92,7 @@ def main(argv=None) -> None:
                   and jax.devices()[0].platform == "tpu"))
     model = RelationModel(lstm_hidden=lstm_hidden,
                           head_hidden=head_hidden, dropout=args.dropout,
-                          compute_dtype=resolve_compute_dtype(args),
+                          compute_dtype=compute_dtype,
                           fused=use_fused and (bool(args.predict)
                                  or jax.devices()[0].platform == "tpu"
                                  or args.dropout == 0.0))

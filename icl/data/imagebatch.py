@@ -276,7 +276,6 @@ class AffinityBatcher:
             "img_valid": np.zeros((I,), bool),
         }
         id_index: list[tuple[int, int, str]] = []
-        from icl.data.pipeline import make_affinity_id
         from icl.io.captions import parse_mention_id
         for s, im in enumerate(group):
             m = min(im.phrase_tokens.shape[0], M)
@@ -295,6 +294,5 @@ class AffinityBatcher:
                         if im.grid_valid[r, c]:
                             id_index.append(
                                 (s, r * B + c,
-                                 make_affinity_id(img, ci, mi,
-                                                  im.box_idx[c])))
+                                 im.cell_id(ci, mi, im.box_idx[c])))
         return ImageBatch(arrays=a, id_index=id_index, shape_key=key)

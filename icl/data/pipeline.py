@@ -28,6 +28,7 @@ Affinity example-id scheme (DECISION):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import re
 from array import array
@@ -53,6 +54,20 @@ def parse_affinity_id(example_id: str) -> tuple[str, int, int, int]:
 
 def make_affinity_id(img_id: str, ci: int, mi: int, bi: int) -> str:
     return f"doc:{img_id};caption:{ci};mention:{mi};box:{bi}"
+
+
+def _id_override(eid: str, canonical: str) -> str | None:
+    """The exact file string when ``eid`` does not round-trip parse→format.
+
+    The id grammar is rigid (fixed field names/separators; the doc field is
+    copied verbatim), so the ONLY way a regex-valid id can differ from its
+    canonical re-serialization is a zero-padded numeric field ("…:007") —
+    i.e. a ':0' followed by more digits.  Callers gate on the cheap ':0'
+    substring scan and only then pay the full-string compare, so canonical
+    files (the overwhelming case) never build a second string per row.
+    Predict must emit the file's exact bytes — the downstream join (gold
+    `.feats` vs written `.scores`, SURVEY §6.2) is on raw strings."""
+    return eid if eid != canonical else None
 
 
 def split_path(data_dir: str, split: str, what: str) -> str:
@@ -117,17 +132,26 @@ class RelationImage:
     pair_ij: np.ndarray      # int32[P, 2] mention-row pairs
     pair_label: np.ndarray   # int32[P]
     pair_key: np.ndarray     # int32[P, 4] original (ci, mi, cj, mj) indices
+    # rare non-canonical feats ids (zero-padded fields), row → exact string
+    pair_id_overrides: dict[int, str] | None = None
 
-    @property
+    @functools.cached_property
     def pair_ids(self) -> list[str]:
         """§6.1 pair-id strings, derived on demand from ``pair_key``.
 
         Ids feed only `.scores` writing at predict; a training split never
         materializes them (≈90 bytes/string × millions of pairs at MSCOCO
         scale — the dataset stores 16 bytes of ints instead, VERDICT r2
-        missing#2)."""
-        return [make_pair_id(self.img_id, ci, mi, cj, mj)
-                for ci, mi, cj, mj in self.pair_key.tolist()]
+        missing#2).  Cached once touched: predict derives them up to three
+        times (batcher ids, parity audit, write order) and training never
+        touches the property, so the bound is unaffected.  Overrides
+        restore the file's exact bytes for non-canonical ids."""
+        ids = [make_pair_id(self.img_id, ci, mi, cj, mj)
+               for ci, mi, cj, mj in self.pair_key.tolist()]
+        if self.pair_id_overrides:
+            for r, s in self.pair_id_overrides.items():
+                ids[r] = s
+        return ids
 
 
 @dataclasses.dataclass
@@ -161,11 +185,16 @@ def load_relation_dataset(
 
     # gold (ci, mi, cj, mj, label) rows per image, int-packed
     labels_by_img: dict[str, array] = {}
+    overrides_by_img: dict[str, dict[int, str]] = {}
     for eid, lbl in zip(ids, flabels):
         img, ci, mi, cj, mj = parse_pair_id(eid)
         rows = labels_by_img.get(img)
         if rows is None:
             rows = labels_by_img.setdefault(img, array("i"))
+        if ":0" in eid:   # cheap zero-pad precheck, see _id_override
+            ov = _id_override(eid, make_pair_id(img, ci, mi, cj, mj))
+            if ov is not None:
+                overrides_by_img.setdefault(img, {})[len(rows) // 5] = ov
         rows.extend((ci, mi, cj, mj, int(lbl)))
     del ids, flabels
 
@@ -199,7 +228,8 @@ def load_relation_dataset(
         images.append(RelationImage(
             img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
             m_first=m_first, m_last=m_last, pair_ij=pair_ij,
-            pair_label=pair_label, pair_key=pair_key))
+            pair_label=pair_label, pair_key=pair_key,
+            pair_id_overrides=overrides_by_img.get(img_id)))
     return RelationDataset(images=images)
 
 
@@ -217,6 +247,17 @@ class AffinityImage:
     box_idx: list[int]         # original box indices, row order
     grid_label: np.ndarray     # int32[M, B]
     grid_valid: np.ndarray     # bool[M, B] — cells present in the .feats file
+    # rare non-canonical feats ids (zero-padded fields): (ci,mi,bi) → bytes
+    cell_id_overrides: dict[tuple[int, int, int], str] | None = None
+
+    def cell_id(self, ci: int, mi: int, bi: int) -> str:
+        """§6.1 cell id for (caption, mention, box) — the file's exact
+        bytes when the feats id was non-canonical (see _id_override)."""
+        if self.cell_id_overrides:
+            ov = self.cell_id_overrides.get((ci, mi, bi))
+            if ov is not None:
+                return ov
+        return make_affinity_id(self.img_id, ci, mi, bi)
 
 
 @dataclasses.dataclass
@@ -246,11 +287,16 @@ def load_affinity_dataset(
     boxes_by_img = group_boxes_by_image(box_ids, box_arr, lazy=True)
 
     cells: dict[str, array] = {}
+    cell_overrides: dict[str, dict[tuple[int, int, int], str]] = {}
     for eid, lbl in zip(ids, flabels):
         img, ci, mi, bi = parse_affinity_id(eid)
         rows = cells.get(img)
         if rows is None:
             rows = cells.setdefault(img, array("i"))
+        if ":0" in eid:   # cheap zero-pad precheck, see _id_override
+            ov = _id_override(eid, make_affinity_id(img, ci, mi, bi))
+            if ov is not None:
+                cell_overrides.setdefault(img, {})[(ci, mi, bi)] = ov
         rows.extend((ci, mi, bi, int(lbl)))
     del ids, flabels
 
@@ -282,5 +328,6 @@ def load_affinity_dataset(
         images.append(AffinityImage(
             img_id=img_id, phrase_tokens=phrase_tokens, phrase_len=phrase_len,
             mention_ids=mention_ids, box_feats=bfeats, box_idx=box_order,
-            grid_label=grid_label, grid_valid=grid_valid))
+            grid_label=grid_label, grid_valid=grid_valid,
+            cell_id_overrides=cell_overrides.get(img_id)))
     return AffinityDataset(images=images, box_dim=box_dim)

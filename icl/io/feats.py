@@ -60,12 +60,25 @@ def parse_sparse_line(line: str) -> FeatsExample | None:
 
 
 def iter_feats(path: str) -> Iterator[FeatsExample]:
-    """Stream-parse a `.feats` file."""
+    """Stream-parse a `.feats` file.
+
+    A line whose label or any idx:val token fails to parse is dropped
+    WHOLE with one warning per file — identical to the native parser
+    (icl_native.cpp parse_line), so behavior cannot differ by whether the
+    .so built."""
+    skipped = 0
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
-            ex = parse_sparse_line(line)
+            try:
+                ex = parse_sparse_line(line)
+            except ValueError:
+                skipped += 1
+                continue
             if ex is not None:
                 yield ex
+    if skipped:
+        from icl.util.log import LOG
+        LOG.warning("%s: skipped %d malformed line(s)", path, skipped)
 
 
 def read_feats(path: str, use_native: bool = True) -> list[FeatsExample]:
@@ -93,14 +106,25 @@ def iter_feats_labels(path: str) -> Iterator[tuple[str, float]]:
     """Stream (example_id, label) pairs without parsing the idx:val columns.
 
     Pure-Python fallback for :func:`read_feats_labels`; same line semantics
-    as :func:`parse_sparse_line` (blank/comment skip, `# id` comment)."""
+    as the native labels scan (blank/comment skip, `# id` comment, lines
+    with an unparseable LABEL dropped whole with one warning per file —
+    idx:val tokens are deliberately not validated on this path)."""
+    skipped = 0
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             s = line.strip()
             if not s or s.startswith("#"):
                 continue
             body, _, comment = s.partition("#")
-            yield comment.strip(), float(body.split(None, 1)[0])
+            try:
+                label = float(body.split(None, 1)[0])
+            except ValueError:
+                skipped += 1
+                continue
+            yield comment.strip(), label
+    if skipped:
+        from icl.util.log import LOG
+        LOG.warning("%s: skipped %d malformed line(s)", path, skipped)
 
 
 def read_feats_labels(path: str, use_native: bool = True

@@ -15,12 +15,15 @@ import subprocess
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libicl_native.so")
 _lib = None
+_load_failed = False
 
 
 def _load() -> ctypes.CDLL | None:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if os.environ.get("ICL_NO_NATIVE_BUILD") != "1":
         # always invoke make (incremental: a no-op when the .so is newer
         # than the source) so a stale library from an older checkout never
@@ -36,11 +39,28 @@ def _load() -> ctypes.CDLL | None:
                     return None
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError) as e:
+        # a stale .so from an older checkout (missing the symbols bound
+        # below) or a failed dlopen must DEGRADE, not crash — native is an
+        # optimization layer, never a dependency; remember the failure so
+        # `make` isn't re-invoked on every call
+        import logging
+        logging.getLogger("icl").warning(
+            "native library unusable (%s: %s) — using pure-Python IO",
+            type(e).__name__, e)
+        _load_failed = True
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.feats_parse.restype = ctypes.c_void_p
     lib.feats_parse.argtypes = [ctypes.c_char_p]
     for fn in ("feats_num_examples", "feats_num_entries",
-               "feats_id_buffer_size"):
+               "feats_id_buffer_size", "feats_num_skipped"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.feats_fill.restype = None
@@ -48,7 +68,7 @@ def _load() -> ctypes.CDLL | None:
     lib.feats_free.argtypes = [ctypes.c_void_p]
     lib.feats_parse_labels.restype = ctypes.c_void_p
     lib.feats_parse_labels.argtypes = [ctypes.c_char_p]
-    for fn in ("featsl_num", "featsl_id_buffer_size"):
+    for fn in ("featsl_num", "featsl_id_buffer_size", "featsl_num_skipped"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.featsl_fill.restype = None
@@ -66,7 +86,6 @@ def _load() -> ctypes.CDLL | None:
     lib.w2v_fill.restype = None
     lib.w2v_free.restype = None
     lib.w2v_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
 
 

@@ -9,6 +9,14 @@ import numpy as np
 from icl.native import _load
 
 
+def _warn_skipped(path: str, skipped: int) -> None:
+    """Malformed lines are dropped whole (identically by the native and
+    pure-Python parsers — tests/unit/test_feats.py) but never silently."""
+    if skipped:
+        from icl.util.log import LOG
+        LOG.warning("%s: skipped %d malformed line(s)", path, skipped)
+
+
 def parse_feats_file(path: str):
     """Returns [(id, label, int32 indices, float32 values), ...] or None."""
     lib = _load()
@@ -21,6 +29,7 @@ def parse_feats_file(path: str):
         n = lib.feats_num_examples(handle)
         nnz = lib.feats_num_entries(handle)
         idlen = lib.feats_id_buffer_size(handle)
+        _warn_skipped(path, int(lib.feats_num_skipped(handle)))
         labels = np.empty(n, np.float64)
         row_offsets = np.empty(n + 1, np.int32)
         indices = np.empty(max(nnz, 1), np.int32)
@@ -64,6 +73,7 @@ def parse_feats_labels(path: str):
     try:
         n = int(lib.featsl_num(handle))
         idlen = int(lib.featsl_id_buffer_size(handle))
+        _warn_skipped(path, int(lib.featsl_num_skipped(handle)))
         labels = np.empty(max(n, 1), np.float64)
         id_offsets = np.empty(max(n, 1), np.int64)
         id_buffer = ctypes.create_string_buffer(max(idlen, 1))

@@ -138,16 +138,20 @@ class _Coalescer:
                                            [e["arrays"] for e in entries])
                     for e, r in zip(entries, rows):
                         e["result"] = r
-                except Exception:
-                    # isolate the culprit: rescore each item alone so only
-                    # the offending request fails (weak#6); a group of one
-                    # just records its error
-                    for e in entries:
-                        try:
-                            e["result"] = self._run_group(
-                                task, key, [e["arrays"]])[0]
-                        except Exception as exc1:
-                            e["error"] = exc1
+                except Exception as exc:
+                    if len(entries) == 1:
+                        # a group of one just records its error — re-running
+                        # it would double device load for every bad request
+                        entries[0]["error"] = exc
+                    else:
+                        # isolate the culprit: rescore each item alone so
+                        # only the offending request fails
+                        for e in entries:
+                            try:
+                                e["result"] = self._run_group(
+                                    task, key, [e["arrays"]])[0]
+                            except Exception as exc1:
+                                e["error"] = exc1
                 finally:
                     for e in entries:
                         e["done"].set()
@@ -500,6 +504,11 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.loads(self.rfile.read(n) or b"{}")
         except json.JSONDecodeError as e:
             self._reply(400, {"error": f"bad json: {e}"})
+            return
+        if not isinstance(payload, dict):
+            # json.loads accepts lists/strings/null — those used to escape
+            # the 400 mapping as an uncaught AttributeError on .get
+            self._reply(400, {"error": "payload must be a JSON object"})
             return
         task = self.path.rsplit("/", 1)[-1]
         if not self.path.startswith("/score/") or task not in self.scorer.tasks:

@@ -228,14 +228,23 @@ def _valid_sum(x) -> int:
     """Sum a (possibly multi-process global) validity mask for logging.
 
     A globally-sharded array's full value is not fetchable from one process;
-    sum the local shards and scale by the global/local device ratio — an
-    estimate exact under balanced sharding (contiguous equal row blocks,
-    icl.dist.mesh), and advisory either way (examples/sec logging only)."""
+    sum the local shards and scale by covered fraction — an estimate exact
+    under balanced sharding (contiguous equal row blocks, icl.dist.mesh),
+    and advisory either way (examples/sec logging only).  Shards are
+    deduplicated by their global index first: on a d×m mesh a P('data')
+    batch is REPLICATED over the model axis, so addressable_shards holds
+    each local row block m_local times and a device-ratio scale would
+    overcount by m (r3 review finding)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        shards = x.addressable_shards
-        local = sum(int(np.asarray(s.data).sum()) for s in shards)
-        return local * (x.sharding.num_devices // max(len(shards), 1))
+        return _dedup_shard_sum(x.addressable_shards, x.size)
     return int(np.asarray(x).sum())
+
+
+def _dedup_shard_sum(shards, total_size: int) -> int:
+    uniq = {repr(s.index): s for s in shards}
+    local = sum(int(np.asarray(s.data).sum()) for s in uniq.values())
+    covered = sum(int(np.asarray(s.data).size) for s in uniq.values())
+    return int(round(local * (total_size / max(covered, 1))))
 
 
 def _batch_examples(args: tuple) -> int:

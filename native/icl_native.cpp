@@ -26,19 +26,31 @@ struct FeatsData {
   std::vector<float> values;
   std::string id_buffer;             // ids concatenated with '\0'
   std::vector<int64_t> id_offsets;   // size n_examples into id_buffer
+  int64_t skipped = 0;               // malformed lines dropped whole
   std::string error;
 };
 
-// Parse one line in place; returns false for blank/comment lines.
-bool parse_line(const char* p, const char* end, FeatsData* out) {
+// A label/index/value must end at whitespace, '#', or line end — strtod's
+// numeric-prefix acceptance ("1x") must not diverge from Python float().
+inline bool token_ends_ok(const char* next, const char* end) {
+  return next >= end || *next == ' ' || *next == '\t' || *next == '\r' ||
+         *next == '\n' || *next == '#';
+}
+
+// Parse one line in place; 0 = blank/comment, 1 = example, -1 = malformed
+// (the whole line is dropped and rolled back — matching the pure-Python
+// parser, which skips any line whose label or idx:val tokens fail to parse,
+// so behavior cannot differ by whether the .so built).
+int parse_line(const char* p, const char* end, FeatsData* out) {
   while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
-  if (p >= end || *p == '#' || *p == '\n') return false;
+  if (p >= end || *p == '#' || *p == '\n') return 0;
 
   char* next = nullptr;
   double label = strtod(p, &next);
-  if (next == p) return false;  // malformed label: skip line defensively
+  if (next == p || !token_ends_ok(next, end)) return -1;
   p = next;
 
+  const size_t n0 = out->indices.size();
   out->labels.push_back(label);
   while (true) {
     while (p < end && (*p == ' ' || *p == '\t')) ++p;
@@ -56,16 +68,26 @@ bool parse_line(const char* p, const char* end, FeatsData* out) {
       break;
     }
     long idx = strtol(p, &next, 10);
-    if (next == p || *next != ':') break;  // malformed token: stop the line
+    if (next == p || *next != ':') {   // malformed token: drop the line
+      out->labels.pop_back();
+      out->indices.resize(n0);
+      out->values.resize(n0);
+      return -1;
+    }
     p = next + 1;
     float val = strtof(p, &next);
-    if (next == p) break;
+    if (next == p || !token_ends_ok(next, end)) {
+      out->labels.pop_back();
+      out->indices.resize(n0);
+      out->values.resize(n0);
+      return -1;
+    }
     p = next;
     out->indices.push_back((int32_t)idx);
     out->values.push_back(val);
   }
   out->row_offsets.push_back((int32_t)out->indices.size());
-  return true;
+  return 1;
 }
 
 }  // namespace
@@ -94,8 +116,10 @@ void* feats_parse(const char* path) {
     const char* nl = (const char*)memchr(p, '\n', end - p);
     const char* line_end = nl ? nl : end;
     data->id_offsets.push_back(-1);  // provisional; set by parse_line
-    if (!parse_line(p, line_end, data)) {
+    int r = parse_line(p, line_end, data);
+    if (r != 1) {
       data->id_offsets.pop_back();   // line produced no example
+      if (r < 0) ++data->skipped;
     }
     p = nl ? nl + 1 : end;
   }
@@ -112,6 +136,10 @@ int64_t feats_num_entries(void* h) {
 
 int64_t feats_id_buffer_size(void* h) {
   return (int64_t)((FeatsData*)h)->id_buffer.size();
+}
+
+int64_t feats_num_skipped(void* h) {
+  return ((FeatsData*)h)->skipped;
 }
 
 // Copies parsed columns into caller-allocated buffers.
@@ -146,6 +174,7 @@ struct FeatsLabels {
   std::vector<double> labels;
   std::string id_buffer;            // ids concatenated with '\0'
   std::vector<int64_t> id_offsets;  // -1 when a line carried no id comment
+  int64_t skipped = 0;              // malformed lines dropped whole
 };
 
 }  // namespace
@@ -174,8 +203,8 @@ void* feats_parse_labels(const char* path) {
     if (q < line_end && *q != '#') {     // not blank / comment-only
       char* next = nullptr;
       double label = strtod(q, &next);
-      if (next != q) {                   // malformed labels skip the line,
-        d->labels.push_back(label);      // matching parse_line above
+      if (next != q && token_ends_ok(next, line_end)) {
+        d->labels.push_back(label);      // else: malformed, counted below
         const char* hash = (const char*)memchr(q, '#', line_end - q);
         if (hash) {
           ++hash;
@@ -189,6 +218,8 @@ void* feats_parse_labels(const char* path) {
         } else {
           d->id_offsets.push_back(-1);
         }
+      } else {
+        ++d->skipped;
       }
     }
     p = nl ? nl + 1 : end;
@@ -198,6 +229,10 @@ void* feats_parse_labels(const char* path) {
 
 int64_t featsl_num(void* h) {
   return (int64_t)((FeatsLabels*)h)->labels.size();
+}
+
+int64_t featsl_num_skipped(void* h) {
+  return ((FeatsLabels*)h)->skipped;
 }
 
 int64_t featsl_id_buffer_size(void* h) {

@@ -38,3 +38,26 @@ def test_training_on_4x2_mesh_matches_single_device(synth_dir, emb):
     p42 = train(build_mesh("4x2"))
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_dedup_shard_sum_replicated_model_axis():
+    """P('data') batches are replicated over the model axis: each local row
+    block appears m_local times in addressable_shards, and the example
+    count must not scale by the model-axis size (r3 review finding)."""
+    import numpy as np
+
+    from icl.train.loop import _dedup_shard_sum
+
+    class _Shard:
+        def __init__(self, index, data):
+            self.index, self.data = index, data
+
+    rows = np.array([True, True, False, True])         # 3 valid of 4
+    # 2 data blocks x 2 model replicas on one host (4x2-style mesh)
+    shards = [
+        _Shard((slice(0, 2),), rows[0:2]), _Shard((slice(0, 2),), rows[0:2]),
+        _Shard((slice(2, 4),), rows[2:4]), _Shard((slice(2, 4),), rows[2:4]),
+    ]
+    assert _dedup_shard_sum(shards, total_size=4) == 3
+    # half-covered global array scales by covered fraction, not devices
+    assert _dedup_shard_sum(shards[:2], total_size=8) == 2 * (8 // 2)

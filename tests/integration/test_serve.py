@@ -198,6 +198,16 @@ def test_bad_requests(served):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # valid JSON that is not an object must map to a clean 400, not an
+    # uncaught AttributeError on payload.get (which drops the connection)
+    for body in (b"[1,2,3]", b'"x"', b"null"):
+        req = urllib.request.Request(url + "/score/relation",
+                                     data=body, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
 
 
 def test_oversized_body_rejected_without_reading(served):

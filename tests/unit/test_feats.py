@@ -93,3 +93,44 @@ def test_labels_only_python_native_equality(tmp_path, synth_dir):
         ids, labels = read_feats_labels(p2, use_native=use_native)
         assert ids == ["", "doc:x"]
         assert labels.tolist() == [1.0, 0.25]
+
+
+def test_malformed_lines_skip_identically(tmp_path):
+    """A line whose label (or, for the full parser, any idx:val token)
+    fails to parse is dropped WHOLE — identically by the native and pure-
+    Python paths, with a warning (r3 review finding: Python used to raise
+    where native silently skipped, so behavior differed by .so presence)."""
+    import logging
+
+    from icl.io.feats import read_feats, read_feats_labels
+    from icl.util.log import LOG
+
+    # LOG has propagate=False — capture by attaching a handler directly
+    records: list[logging.LogRecord] = []
+
+    class _Rec(logging.Handler):
+        def emit(self, r):
+            records.append(r)
+
+    h = _Rec(level=logging.WARNING)
+    LOG._log.addHandler(h)
+
+    p = str(tmp_path / "bad.feats")
+    with open(p, "w") as f:
+        f.write("1 2:0.5 # doc:a\n"
+                "label 2:0.5 # doc:bad1\n"     # non-numeric label
+                "1x 2:0.5 # doc:bad2\n"        # numeric-prefix label
+                "0 3:abc # doc:bad3\n"         # malformed value token
+                "0.5 4:1.0 # doc:b\n")
+    for use_native in (False, True):
+        records.clear()
+        full = read_feats(p, use_native=use_native)
+        assert [ex.example_id for ex in full] == ["doc:a", "doc:b"], use_native
+        assert any("malformed" in r.getMessage() for r in records)
+    # labels-only scan validates the LABEL field only (tokens skipped by
+    # design): bad3's tokens are never parsed, so it survives on that path
+    for use_native in (False, True):
+        ids, labels = read_feats_labels(p, use_native=use_native)
+        assert ids == ["doc:a", "doc:bad3", "doc:b"], use_native
+        assert labels.tolist() == [1.0, 0.0, 0.5]
+    LOG._log.removeHandler(h)

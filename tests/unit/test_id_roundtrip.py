@@ -1,0 +1,82 @@
+"""Non-canonical (zero-padded) `.feats` ids must round-trip byte-exactly
+into `.scores` order (r3 review finding: the bounded-memory loaders
+re-serialize ids from parsed ints, silently dropping zero-padding and
+breaking the gold-vs-scores join downstream)."""
+
+import numpy as np
+import pytest
+
+from icl.data.embeddings import EmbeddingStore
+from icl.data.pipeline import (load_affinity_dataset, load_relation_dataset,
+                               split_path)
+from icl.testing import SynthConfig, generate_dataset
+
+
+@pytest.fixture
+def synth_dir(tmp_path):
+    d = str(tmp_path)
+    generate_dataset(d, "train", SynthConfig(num_images=3, seed=5))
+    return d
+
+
+def _emb(d):
+    return EmbeddingStore.load(f"{d}/embeddings.txt")
+
+
+def _pad_first_field(line: str, field: str) -> str:
+    """caption_1:3 → caption_1:003 (first occurrence)."""
+    pre, sep, post = line.partition(field + ":")
+    assert sep, line
+    num = post.split(";", 1)[0].split(",", 1)[0].split()[0]
+    return pre + sep + "00" + num + post[len(num):]
+
+
+def test_relation_zero_padded_ids_roundtrip(synth_dir):
+    path = split_path(synth_dir, "train", "relation.feats")
+    lines = open(path).read().splitlines()
+    # zero-pad one id's caption field mid-file
+    target = next(i for i, l in enumerate(lines) if "#" in l and i > 2)
+    head, _, eid = lines[target].partition("# ")
+    padded = _pad_first_field(eid, "caption_1")
+    assert padded != eid
+    lines[target] = head + "# " + padded
+    open(path, "w").write("\n".join(lines) + "\n")
+
+    ds = load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+    all_ids = [pid for im in ds.images for pid in im.pair_ids]
+    assert padded in all_ids                 # exact file bytes preserved
+    assert eid not in all_ids                # not silently canonicalized
+    # every other id still canonical & present
+    others = [l.partition("# ")[2] for i, l in enumerate(lines)
+              if "#" in l and i != target]
+    assert set(others) <= set(all_ids)
+
+
+def test_affinity_zero_padded_ids_roundtrip(synth_dir):
+    path = split_path(synth_dir, "train", "affinity.feats")
+    lines = open(path).read().splitlines()
+    target = next(i for i, l in enumerate(lines) if "#" in l and i > 2)
+    head, _, eid = lines[target].partition("# ")
+    padded = _pad_first_field(eid, "box")
+    assert padded != eid
+    lines[target] = head + "# " + padded
+    open(path, "w").write("\n".join(lines) + "\n")
+
+    ds = load_affinity_dataset(synth_dir, "train", _emb(synth_dir))
+    from icl.io.captions import parse_mention_id
+    all_ids = []
+    for im in ds.images:
+        for r, mid in enumerate(im.mention_ids):
+            _, ci, mi = parse_mention_id(mid)
+            for c, bi in enumerate(im.box_idx):
+                if im.grid_valid[r, c]:
+                    all_ids.append(im.cell_id(ci, mi, bi))
+    assert padded in all_ids
+    assert eid not in all_ids
+
+
+def test_pair_ids_cached_and_stable(synth_dir):
+    ds = load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+    im = ds.images[0]
+    first = im.pair_ids
+    assert im.pair_ids is first              # cached_property: derived once
