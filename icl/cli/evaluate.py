@@ -65,7 +65,13 @@ def _grounding_accuracy(ids, probs, gold, strict: bool = False) -> None:
         m = cid.rsplit(";box:", 1)[0]
         has_positive[m] = has_positive.get(m, False) or bool(lab)
     no_gold = [m for m in best if m not in has_positive]
-    groundable = hits = 0
+    # gold-groundable mentions the rank file never scored: count them in
+    # the denominator as misses — dropping them silently INFLATED the
+    # accuracy for truncated rank files (r3 review finding; the join is
+    # now checked in both directions like the classification branch)
+    unscored = [m for m, pos in has_positive.items()
+                if pos and m not in best]
+    groundable, hits = len(unscored), 0
     unknown_cells: list[str] = []
     for mention, (_, cell_id) in sorted(best.items()):
         if not has_positive.get(mention, False):
@@ -75,11 +81,13 @@ def _grounding_accuracy(ids, probs, gold, strict: bool = False) -> None:
             hits += gold[cell_id]
         else:
             unknown_cells.append(cell_id)  # counted as a miss, reported
-    if no_gold or unknown_cells:
-        example = (unknown_cells or no_gold)[0]
+    if no_gold or unknown_cells or unscored:
+        example = (unknown_cells or no_gold or unscored)[0]
         msg = (f"{len(no_gold)} scored mentions absent from gold, "
                f"{len(unknown_cells)} top-ranked cells absent from gold "
-               f"(scored as misses); e.g. {example!r}")
+               f"(scored as misses), {len(unscored)} groundable gold "
+               f"mentions never scored (counted as misses); "
+               f"e.g. {example!r}")
         if strict:
             raise SystemExit(f"id mismatch: {msg}")
         LOG.warning("id mismatch: %s", msg)
@@ -134,12 +142,22 @@ def main(argv=None) -> None:
         if args.strict:
             raise SystemExit(f"id mismatch: {msg}")
         LOG.warning("id mismatch (joining on intersection): %s", msg)
+    if len(ids) != len(scored):
+        # e.g. concatenated shard outputs: each repeat used to increment
+        # the confusion matrix again, inflating every denominator
+        msg = (f"{len(ids) - len(scored)} duplicate ids in "
+               f"{args.scores} — counting the first occurrence only")
+        if args.strict:
+            raise SystemExit(f"duplicate ids: {msg}")
+        LOG.warning("%s", msg)
 
     sd = ScoreDict(labels=list(classes))
     n = 0
+    seen: set[str] = set()
     for i, row in zip(ids, probs):
-        if i not in gold:
+        if i not in gold or i in seen:
             continue
+        seen.add(i)
         sd.increment(classes[gold[i]], classes[int(np.argmax(row))])
         n += 1
     if n == 0:

@@ -61,7 +61,7 @@ class EmbeddingStore:
         if restrict_to is not None:
             restrict_to = set(restrict_to) | {w.lower() for w in restrict_to}
         with open(path, "rb") as f:
-            head = f.read(64)
+            head = f.read(1024)
         if path.endswith(".bin") or _looks_binary(head):
             try:
                 from icl.native.w2v import load_binary
@@ -75,8 +75,14 @@ class EmbeddingStore:
         return cls._load_text(path, restrict_to)
 
     def restrict(self, words) -> "EmbeddingStore":
-        """Subset the store to the given words (order-preserving)."""
-        words = words if isinstance(words, (set, frozenset, dict)) else set(words)
+        """Subset the store to the given words (order-preserving).
+
+        Keeps the lowercase forms too — the same expansion
+        ``load(restrict_to=...)`` applies — so the ``lookup_id`` OOV
+        fallback (exact, then lowercase) survives restriction identically
+        on both construction paths."""
+        words = set(words)
+        words |= {w.lower() for w in words}
         keep = [w for w in sorted(self.vocab, key=self.vocab.get)
                 if w in words]
         rows = np.array([self.vocab[w] for w in keep], dtype=np.int64)
@@ -110,25 +116,40 @@ class EmbeddingStore:
 
     @classmethod
     def _load_binary(cls, path: str, restrict_to=None) -> "EmbeddingStore":
-        """GoogleNews .bin: ascii header 'V D\\n', then word + D float32 LE."""
+        """GoogleNews .bin: ascii header 'V D\\n', then word + D float32 LE.
+
+        Streams record-by-record through a bounded window — a 3.4 GB
+        GoogleNews file with restrict_to must never be materialized whole
+        on this fallback path (r3 review finding; the native loader
+        streams too).  Peak memory ≈ kept rows + the 1 MiB window."""
+        words: list[str] = []
+        rows: list[np.ndarray] = []
         with open(path, "rb") as f:
             header = f.readline().decode("utf-8").strip()
             v_str, d_str = header.split(" ")
             v, d = int(v_str), int(d_str)
-            words = []
-            rows = []
-            buf = f.read()
-        pos = 0
-        vec_bytes = d * 4
-        for _ in range(v):
-            end = buf.index(b" ", pos)
-            word = buf[pos:end].decode("utf-8", errors="replace").lstrip("\n")
-            pos = end + 1
-            if restrict_to is None or word in restrict_to:
-                words.append(word)
-                rows.append(np.frombuffer(buf, dtype="<f4", count=d,
-                                          offset=pos))
-            pos += vec_bytes
+            vec_bytes = d * 4
+            buf = b""
+            pos = 0
+            for _ in range(v):
+                end = buf.find(b" ", pos)
+                while end < 0 or len(buf) - (end + 1) < vec_bytes:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    buf = buf[pos:] + chunk
+                    pos = 0
+                    end = buf.find(b" ", pos)
+                if end < 0 or len(buf) - (end + 1) < vec_bytes:
+                    break   # truncated file: keep what parsed
+                word = buf[pos:end].decode("utf-8",
+                                           errors="replace").lstrip("\n")
+                pos = end + 1
+                if restrict_to is None or word in restrict_to:
+                    words.append(word)
+                    rows.append(np.frombuffer(buf, dtype="<f4", count=d,
+                                              offset=pos).copy())
+                pos += vec_bytes
         return cls.from_arrays(words, np.stack(rows) if rows
                                else np.zeros((0, d), np.float32))
 
@@ -166,19 +187,29 @@ class EmbeddingStore:
         return self.table[ids].mean(axis=0)
 
 
+# bytes that never occur in text-format w2v lines (UTF-8 words + ascii
+# floats + space/tab/newline) but are near-certain within a few raw
+# float32s: NUL..BS, VT, FF, SO..US  (\t=9, \n=10, \r=13 excluded)
+_CTRL = frozenset(range(0, 9)) | {11, 12} | frozenset(range(14, 32))
+
+
 def _looks_binary(head: bytes) -> bool:
-    """Binary w2v starts with an ascii 'V D\\n' header then raw floats."""
+    """Binary w2v starts with an ascii 'V D\\n' header then raw floats.
+
+    The tail test is CONTROL bytes, not non-ascii: a text file whose first
+    words are non-English ('über …') is perfectly valid UTF-8 >127, and
+    treating it as binary silently loaded a garbage table (r3 review
+    finding).  Raw float32 runs hit a control byte with overwhelming
+    probability inside the 1 KiB probe; .bin files are caught by extension
+    before this heuristic anyway (see load())."""
     try:
         nl = head.index(b"\n")
     except ValueError:
         return False
     try:
         parts = head[:nl].decode("ascii").split(" ")
-        if len(parts) == 2 and all(p.isdigit() for p in parts):
-            # text format would have another ascii line next; binary has a
-            # word then raw float bytes — check for non-ascii in the tail.
-            tail = head[nl + 1:]
-            return any(b > 127 for b in tail) or b"\x00" in tail
     except UnicodeDecodeError:
         return True
+    if len(parts) == 2 and all(p.isdigit() for p in parts):
+        return any(b in _CTRL for b in head[nl + 1:])
     return False

@@ -99,8 +99,18 @@ def local_data_rows(mesh: Mesh, global_rows: int) -> tuple[int, int]:
         raise ValueError(f"global batch {global_rows} not divisible by "
                          f"data axis {d}")
     per = global_rows // d
-    mine = [i for i in range(d)
-            if mesh.devices[i, 0].process_index == jax.process_index()]
+    # a process owns data-row block i if ANY of its devices sits in mesh
+    # row i — checking only model-column 0 both crashed (mine[0] on [])
+    # and mis-owned rows when the model axis crosses hosts (r3 review
+    # finding); model-axis replicas on other hosts feed the same rows,
+    # which make_array_from_process_local_data de-duplicates
+    pidx = jax.process_index()
+    mine = sorted({i for i in range(d)
+                   if any(dev.process_index == pidx
+                          for dev in np.asarray(mesh.devices[i]).flat)})
+    if not mine:
+        raise ValueError("this process owns no data-axis rows on the mesh; "
+                         "feed globally via shard_batch instead")
     if mine != list(range(mine[0], mine[0] + len(mine))):
         raise ValueError("process's data-axis devices are not contiguous; "
                          "feed globally via shard_batch instead")

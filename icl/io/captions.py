@@ -86,13 +86,19 @@ def read_captions(path: str) -> dict[str, Caption]:
     """Load captions keyed by ``<imgid>.jpg#<capIdx>``."""
     out: dict[str, Caption] = {}
     with open(path, "r", encoding="utf-8") as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
             key, _, toks = line.partition("\t")
             img_id, _, cap_idx = key.rpartition("#")
-            cap = Caption(img_id=img_id, cap_idx=int(cap_idx), tokens=toks.split())
+            try:
+                cap = Caption(img_id=img_id, cap_idx=int(cap_idx),
+                              tokens=toks.split())
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{ln}: bad caption key {key!r} "
+                    f"(want '<imgid>.jpg#<capIdx>')") from None
             out[cap.key] = cap
     return out
 
@@ -101,16 +107,23 @@ def read_mentions(path: str) -> list[Mention]:
     """Load mention spans; see module docstring for the line format."""
     out: list[Mention] = []
     with open(path, "r", encoding="utf-8") as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
             fields = line.split("\t")
-            img_id, ci, mi = parse_mention_id(fields[0])
-            first_s, _, last_s = fields[1].partition(",")
-            text = fields[2] if len(fields) > 2 else ""
-            out.append(Mention(img_id=img_id, cap_idx=ci, mention_idx=mi,
-                               first=int(first_s), last=int(last_s), text=text))
+            try:
+                img_id, ci, mi = parse_mention_id(fields[0])
+                first_s, _, last_s = fields[1].partition(",")
+                mention = Mention(img_id=img_id, cap_idx=ci, mention_idx=mi,
+                                  first=int(first_s), last=int(last_s),
+                                  text=fields[2] if len(fields) > 2 else "")
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"{path}:{ln}: bad mention line {line!r} "
+                    f"(want '<mention_id>\\t<first>,<last>[\\t<text>]'): "
+                    f"{e}") from None
+            out.append(mention)
     return out
 
 

@@ -95,8 +95,14 @@ class Checkpointer:
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        except ValueError:
-            # pre-position-format checkpoint (no epoch/batch_in_epoch keys)
+        except ValueError as e:
+            # fall back ONLY for a pre-position-format checkpoint (no
+            # epoch/batch_in_epoch keys) — any other ValueError (e.g. a
+            # params-shape mismatch from a changed --head_hidden) must
+            # surface its own diagnostic, not a confusing second failure
+            # from a template the checkpoint never matched
+            if not ("epoch" in str(e) or "batch_in_epoch" in str(e)):
+                raise
             template.pop("epoch")
             template.pop("batch_in_epoch")
             restored = self._mgr.restore(

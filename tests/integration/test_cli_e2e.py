@@ -297,3 +297,95 @@ def test_eval_grounding_id_drift(capsys, monkeypatch, tmp_path):
     with pytest.raises(SystemExit, match="id mismatch"):
         emain(["--task", "grounding", "--scores", sp, "--feats", fp,
                "--strict"])
+
+
+def test_eval_grounding_unscored_mentions_count_as_misses(capsys, monkeypatch,
+                                                          tmp_path):
+    """Gold-groundable mentions missing from the rank file deflate the
+    denominator as misses (with a warning / --strict error) instead of
+    silently inflating accuracy for truncated rank files (r3 review)."""
+    import types
+
+    import pytest
+
+    import icl.cli.evaluate as ev
+    from icl.cli.evaluate import main as emain
+
+    warnings: list[str] = []
+    monkeypatch.setattr(ev, "LOG", types.SimpleNamespace(
+        warning=lambda msg, *a: warnings.append(msg % a)))
+
+    def mid(m):
+        return f"doc:d.jpg;caption:0;mention:{m}"
+
+    sp = str(tmp_path / "g.rank")
+    fp = str(tmp_path / "g.feats")
+    # rank file covers only mention 0 (hit); mentions 1 and 2 are gold-
+    # groundable but never scored -> 1 hit / 3 groundable
+    with open(sp, "w") as f:
+        f.write(f"{mid(0)};box:0,0.900000\n")
+    with open(fp, "w") as f:
+        for m, b, lab in [(0, 0, 1), (1, 0, 1), (2, 1, 1), (3, 0, 0)]:
+            f.write(f"{lab} 1:1.0 # {mid(m)};box:{b}\n")
+    emain(["--task", "grounding", "--scores", sp, "--feats", fp])
+    out = capsys.readouterr().out
+    assert "Top-1 grounding accuracy: 33.33% (1/3" in out, out
+    assert any("2 groundable gold mentions never scored" in w
+               for w in warnings), warnings
+    with pytest.raises(SystemExit, match="id mismatch"):
+        emain(["--task", "grounding", "--scores", sp, "--feats", fp,
+               "--strict"])
+
+
+def test_eval_duplicate_score_ids_counted_once(capsys, monkeypatch, tmp_path):
+    """Duplicate ids in a .scores file (e.g. concatenated shard outputs)
+    are counted once, with a warning / --strict error (r3 review)."""
+    import types
+
+    import pytest
+
+    import icl.cli.evaluate as ev
+    from icl.cli.evaluate import main as emain
+
+    warnings: list[str] = []
+    monkeypatch.setattr(ev, "LOG", types.SimpleNamespace(
+        warning=lambda msg, *a: warnings.append(msg % a)))
+
+    sp = str(tmp_path / "d.scores")
+    fp = str(tmp_path / "d.feats")
+    def nid(m):
+        return f"doc:d.jpg;caption:{m};mention:0"
+    with open(sp, "w") as f:
+        f.write(f"{nid(0)},0.900000,0.100000\n")
+        f.write(f"{nid(0)},0.900000,0.100000\n")   # duplicate line
+        f.write(f"{nid(1)},0.200000,0.800000\n")
+    with open(fp, "w") as f:
+        f.write(f"0 1:1.0 # {nid(0)}\n1 1:1.0 # {nid(1)}\n")
+    emain(["--task", "nonvisual", "--scores", sp, "--feats", fp])
+    out = capsys.readouterr().out
+    # 2 unique examples, both correct -> accuracy line over n=2
+    assert "Accuracy: 100.00%" in out, out
+    assert any("duplicate ids" in w for w in warnings), warnings
+    with pytest.raises(SystemExit, match="duplicate ids"):
+        emain(["--task", "nonvisual", "--scores", sp, "--feats", fp,
+               "--strict"])
+
+
+def test_mention_and_caption_parse_errors_carry_context(tmp_path):
+    """Malformed mentions/captions lines raise with file:line context
+    instead of a bare IndexError/ValueError (r3 review)."""
+    import pytest
+
+    from icl.io.captions import read_captions, read_mentions
+
+    mp = str(tmp_path / "m.txt")
+    with open(mp, "w") as f:
+        f.write("doc:d.jpg;caption:0;mention:0\t0,1\n")
+        f.write("doc:d.jpg;caption:0;mention:1\n")     # missing span field
+    with pytest.raises(ValueError, match=r"m\.txt:2: bad mention line"):
+        read_mentions(mp)
+    cp = str(tmp_path / "c.txt")
+    with open(cp, "w") as f:
+        f.write("d.jpg#notanum\ta b c\n")
+    with pytest.raises(ValueError, match=r"c\.txt:1: bad caption key"):
+        read_captions(cp)

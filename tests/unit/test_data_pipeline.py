@@ -235,3 +235,60 @@ def test_pad_cache_holds_two_batcher_specs(synth_dir, emb):
     cold = b2._image_fields(im2, keys[1])
     for name, arr in f2.items():
         np.testing.assert_array_equal(arr, cold[name])
+
+
+def test_utf8_text_embeddings_not_misdetected_as_binary(tmp_path):
+    """A text w2v file with a 'V D' header and non-ASCII words must load
+    as TEXT — the old any(b>127) probe reinterpreted it as raw float32
+    and silently produced a garbage table (r3 review finding)."""
+    import numpy as np
+
+    from icl.data.embeddings import EmbeddingStore
+
+    p = str(tmp_path / "emb.txt")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("2 3\nüber 0.1 0.2 0.3\nfoo 1 2 3\n")
+    e = EmbeddingStore.load(p)
+    assert set(e.vocab) == {"über", "foo"}
+    np.testing.assert_allclose(e.table[e.vocab["über"]], [0.1, 0.2, 0.3],
+                               rtol=1e-6)
+
+
+def test_binary_fallback_streams_and_restricts(tmp_path):
+    """Pure-Python .bin fallback parses record-by-record (bounded window)
+    and honors restrict_to; truncated files keep the parsed prefix."""
+    import numpy as np
+
+    from icl.data.embeddings import EmbeddingStore
+
+    src = EmbeddingStore.from_arrays(
+        ["Alpha", "beta", "Gamma"],
+        np.arange(9, dtype=np.float32).reshape(3, 3))
+    p = str(tmp_path / "emb.bin")
+    src.save_binary(p)
+    full = EmbeddingStore._load_binary(p)
+    assert sorted(full.vocab) == ["Alpha", "Gamma", "beta"]
+    np.testing.assert_allclose(full.table[full.vocab["beta"]],
+                               src.table[src.vocab["beta"]])
+    only = EmbeddingStore._load_binary(p, restrict_to={"beta"})
+    assert set(only.vocab) == {"beta"}
+    # truncate mid-vector: loader keeps what parsed instead of raising
+    raw = open(p, "rb").read()
+    open(str(tmp_path / "trunc.bin"), "wb").write(raw[:len(raw) - 6])
+    part = EmbeddingStore._load_binary(str(tmp_path / "trunc.bin"))
+    assert sorted(part.vocab) == ["Alpha", "beta"]
+
+
+def test_restrict_keeps_lowercase_fallback_forms():
+    """restrict() expands to lowercase forms exactly like
+    load(restrict_to=...), so the lookup_id OOV fallback survives
+    restriction on both construction paths (r3 review finding)."""
+    import numpy as np
+
+    from icl.data.embeddings import EmbeddingStore
+
+    src = EmbeddingStore.from_arrays(["Dog", "dog", "cat"],
+                                     np.ones((3, 2), np.float32))
+    sub = src.restrict({"Dog"})
+    assert set(sub.vocab) == {"Dog", "dog"}
+    assert sub.lookup_id("Dog") == sub.vocab["Dog"]
