@@ -17,7 +17,11 @@ from icl.util.log import LOG
 
 
 def base_parser(task: str, description: str) -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog=f"icl-{task}", description=description)
+    # allow_abbrev=False: flags are a frozen contract (§6.6), and the
+    # pre-parse --config scan (_scan_flag) matches literal tokens — an
+    # abbreviated '--conf pod.json' would parse yet never load the file
+    p = argparse.ArgumentParser(prog=f"icl-{task}", description=description,
+                                allow_abbrev=False)
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--train", action="store_true",
                       help="train a model on --data_split")
@@ -154,8 +158,14 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
                     f"not {task!r}")
         defaults = {}
         for k, v in cfg.get("hosts", {}).items():
-            if k in _HOSTS_KEYS:
-                defaults[k] = v
+            if k == "note" or k.startswith("_"):
+                continue   # documentation keys
+            if k not in _HOSTS_KEYS:
+                # same anti-rot contract as top-level keys: a typo like
+                # 'num_proceses' must fail HERE, not single-process later
+                p.error(f"unknown key {k!r} in 'hosts' block of --config "
+                        f"{cfg_path} (known: {', '.join(_HOSTS_KEYS)})")
+            defaults[k] = v
         buckets = cfg.get("buckets")
         dests = {a.dest for a in p._actions}
         for k, v in cfg.items():

@@ -32,13 +32,38 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     if args.train:
         p.error("icl-joint is inference-only; train per-task CLIs instead")
+    # flags that can't mean one thing across three sub-runs, or that this
+    # wrapper doesn't implement, HARD-ERROR instead of being silently
+    # ignored (r3 review finding: --config/--model_file/--scores_file
+    # used to parse fine and do nothing)
+    for flag, val, why in (
+            ("--config", args.config, "pass per-task flags instead"),
+            ("--model_file", args.model_file,
+             "per-task <data_dir>/<task>.model dirs are used"),
+            ("--scores_file", args.scores_file,
+             "per-task default .scores paths are used"),
+            ("--metrics_file", args.metrics_file, "train-only"),
+            ("--profile_dir", args.profile_dir, "train-only")):
+        if val:
+            p.error(f"{flag} is not supported by icl-joint ({why})")
 
     common = ["--predict", "--data_dir", args.data_dir,
               "--data_split", args.data_split,
               "--lstm_hidden_width", str(args.lstm_hidden_width),
-              "--seed", str(args.seed)]
+              "--seed", str(args.seed),
+              "--compute_dtype", args.compute_dtype,
+              "--batch_size", str(args.batch_size),
+              "--dropout", str(args.dropout)]
     if args.mesh:
         common += ["--mesh", args.mesh]
+    if args.matmul_precision:
+        common += ["--matmul_precision", args.matmul_precision]
+    if args.hidden_width:
+        common += ["--hidden_width", str(args.hidden_width)]
+    if args.embeddings_file:
+        common += ["--embeddings_file", args.embeddings_file]
+    if not args.prune_embeddings:
+        common += ["--no_prune_embeddings"]
     if args.eval:
         common += ["--eval"]
     if args.oracle_parity:
@@ -46,37 +71,20 @@ def main(argv=None) -> None:
     if args.oracle_parity_full:
         common += ["--oracle-parity-full"]
 
-    def model_cfg(task: str) -> dict:
-        import json
-        path = os.path.join(args.data_dir, f"{task}.model",
-                            "model_config.json")
-        return json.load(open(path)) if os.path.exists(path) else {}
-
+    # NOTE: no per-task width forwarding — each sub-CLI reads its own
+    # <task>.model/model_config.json on predict and that wins over flags,
+    # so duplicating the config schema here only risked desync
     LOG.info("joint inference over %s/%s", args.data_dir, args.data_split)
-    nv_cfg = model_cfg("nonvisual")
-    nv_cli.main(common + (["--hidden_width", str(nv_cfg["hidden"])]
-                          if "hidden" in nv_cfg else []))
-    rel_cfg = model_cfg("relation")
-    rel_cli.main(common
-                 + ["--images_per_batch", str(args.images_per_batch)]
-                 + (["--lstm_hidden_width", str(rel_cfg["lstm_hidden"]),
-                     "--head_hidden", str(rel_cfg["head_hidden"])]
-                    if "lstm_hidden" in rel_cfg else []))
-    aff_cfg = model_cfg("affinity")
+    nv_cli.main(list(common))
+    rel_cli.main(common + ["--images_per_batch", str(args.images_per_batch)])
     aff_cli.main(common
                  + ["--images_per_batch", str(args.images_per_batch)]
                  + (["--rank_file", os.path.join(
                         args.data_dir, f"{args.data_split}.affinity.rank")]
-                    if args.with_rank else [])
-                 + (["--lstm_hidden_width", str(aff_cfg["lstm_hidden"]),
-                     "--head_hidden", str(aff_cfg["head_hidden"]),
-                     "--phrase_enc", aff_cfg.get("phrase_enc", "lstm")]
-                    if "lstm_hidden" in aff_cfg else []))
+                    if args.with_rank else []))
     if args.with_cardinality:
         from icl.cli import cardinality as card_cli
-        card_cfg = model_cfg("cardinality")
-        card_cli.main(common + (["--hidden_width", str(card_cfg["hidden"])]
-                                if "hidden" in card_cfg else []))
+        card_cli.main(list(common))
     LOG.info("joint inference complete: all .scores written for %s",
              args.data_split)
 

@@ -48,6 +48,28 @@ class ImageBatch:
     shape_key: tuple
 
 
+def _schedule(images, shape_of, ipb: int,
+              rng: np.random.Generator | None, skip: int) -> list:
+    """The one batch schedule both batchers share: group by bucket shape,
+    per-group shuffle, chunk by images-per-batch, shuffle the chunk order,
+    drop the first ``skip`` (resume).  rng-deterministic, so every host of
+    a multi-process run agrees on it — keeping this logic in ONE place is
+    what the resume/skip and host_rows correctness arguments rely on."""
+    by_shape: dict[tuple, list] = {}
+    for im in images:
+        by_shape.setdefault(shape_of(im), []).append(im)
+    schedule: list[tuple[tuple, list]] = []
+    for key in sorted(by_shape):
+        group = by_shape[key]
+        if rng is not None:
+            rng.shuffle(group)
+        for s in range(0, len(group), ipb):
+            schedule.append((key, group[s:s + ipb]))
+    if rng is not None:
+        rng.shuffle(schedule)
+    return schedule[skip:]
+
+
 class RelationBatcher:
     """Buckets relation images by (L, M) and pads to fixed shapes."""
 
@@ -72,7 +94,15 @@ class RelationBatcher:
     def shape_of(self, im: RelationImage) -> tuple[int, int, int, int]:
         L = self.len_spec.bucket_of(im.tokens.shape[1])
         M = self.mention_spec.bucket_of(len(im.m_cap))
-        P = M * (M - 1) // 2
+        # pair capacity: M(M-1)/2 fits the canonical unordered export
+        # (direction lives in the subset_ij/subset_ji labels, §6.4), but an
+        # ordered/both-direction .feats export carries up to M(M-1) rows —
+        # double the capacity into the bucket key rather than silently
+        # truncating labels and `.scores` ids (r3 review finding; compile
+        # count stays bounded: capacity tiers double, they don't enumerate)
+        P = max(M * (M - 1) // 2, 1)
+        while P < len(im.pair_label):
+            P *= 2
         # caption count joins the key so >C-caption images (MSCOCO has 5–7)
         # are padded up, never silently truncated/mis-gathered
         C = max(self.C, im.tokens.shape[0])
@@ -90,19 +120,8 @@ class RelationBatcher:
         batch rows this process's devices hold (icl.dist.mesh.local_data_rows)
         and feed them via shard_batch_local; the schedule itself stays
         global and rng-deterministic, so every host agrees on it."""
-        by_shape: dict[tuple, list[RelationImage]] = {}
-        for im in ds.images:
-            by_shape.setdefault(self.shape_of(im), []).append(im)
-        schedule: list[tuple[tuple, list[RelationImage]]] = []
-        for key in sorted(by_shape):
-            group = by_shape[key]
-            if rng is not None:
-                rng.shuffle(group)
-            for s in range(0, len(group), self.ipb):
-                schedule.append((key, group[s:s + self.ipb]))
-        if rng is not None:
-            rng.shuffle(schedule)
-        for key, group in schedule[skip:]:
+        for key, group in _schedule(ds.images, self.shape_of, self.ipb,
+                                    rng, skip):
             yield self._pad(key, group, host_rows)
 
     # per-image padded field inventory: shapes from the bucket key, dtypes
@@ -156,7 +175,8 @@ class RelationBatcher:
         mv = np.zeros((M,), bool)
         mv[:m] = True
         f["m_valid"] = mv
-        p = min(len(im.pair_label), P)
+        p = len(im.pair_label)
+        assert p <= P, (p, key)   # shape_of sizes the capacity; never drop
         pij = np.zeros((P, 2), np.int32)
         pij[:p] = im.pair_ij[:p]
         plab = np.zeros((P,), np.int32)
@@ -244,20 +264,9 @@ class AffinityBatcher:
         batches without building them (and, with lazy mmap box views,
         without touching their feature bytes at all); ``host_rows`` builds
         only this process's slice (see RelationBatcher)."""
-        by_shape: dict[tuple, list[AffinityImage]] = {}
-        for im in ds.images:
-            by_shape.setdefault(self.shape_of(im), []).append(im)
-        schedule: list[tuple[tuple, list[AffinityImage]]] = []
-        for key in sorted(by_shape):
-            group = by_shape[key]
-            if rng is not None:
-                rng.shuffle(group)
-            for s in range(0, len(group), self.ipb):
-                schedule.append((key, group[s:s + self.ipb]))
-        if rng is not None:
-            rng.shuffle(schedule)
         D = ds.box_dim
-        for key, group in schedule[skip:]:
+        for key, group in _schedule(ds.images, self.shape_of, self.ipb,
+                                    rng, skip):
             yield self._pad(key, group, D, host_rows)
 
     def _pad(self, key: tuple, group: list[AffinityImage], D: int,

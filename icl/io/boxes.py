@@ -69,7 +69,11 @@ def _mmap_npz_member(path: str, name: str) -> np.memmap | None:
                 return None
         return np.memmap(path, dtype=np.dtype(header["descr"]), mode="r",
                          offset=hdr_end, shape=tuple(header["shape"]))
-    except (KeyError, ValueError, OSError, SyntaxError):
+    except (KeyError, ValueError, OSError, SyntaxError, struct.error,
+            IndexError):
+        # any structural surprise (incl. truncated members: short reads
+        # raise struct.error/IndexError) falls back to eager np.load,
+        # which reports real corruption clearly
         return None
 
 

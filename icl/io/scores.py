@@ -61,9 +61,12 @@ def write_scores(
     if meta:
         info.update(meta)
     try:
+        # provenance = the CODE repo that wrote the scores, so resolve git
+        # from this module's location — the output path may live inside a
+        # separately-versioned data mount whose HEAD is meaningless here
         sha = subprocess.run(
             ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(path)) or ".", timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=5,
         ).stdout.strip()
         if sha:
             info["git_sha"] = sha

@@ -1,9 +1,11 @@
 """Framework bring-up (SURVEY §4.5) — the reference has no equivalent.
 
 ``init()`` is the single entry the CLIs call before any device work:
-multi-host bootstrap (no-op single-process), mesh construction, and seeded
-rng plumbing (per-host folded so data shuffling differs across hosts while
-model init stays identical).
+multi-host bootstrap (no-op single-process) and mesh construction.  Rng
+seeding is deliberately IDENTICAL on every host (loop.py seeds schedules
+from (seed, epoch) with no process-index fold): the multi-host input
+sharding design requires all hosts to agree on the global batch schedule
+and slice their own rows from it (icl.dist.mesh.local_data_rows).
 """
 
 from __future__ import annotations

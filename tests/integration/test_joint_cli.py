@@ -29,3 +29,17 @@ def test_joint_after_training(tmp_path):
     rids, ranks = read_scores(os.path.join(d, "dev.affinity.rank"))
     assert len(rids) > 0 and ranks.shape[1] == 1
     assert (ranks >= 0).all() and (ranks <= 1).all()
+
+
+def test_joint_rejects_unsupported_flags(tmp_path):
+    """Flags icl-joint cannot honor hard-error instead of parsing fine and
+    doing nothing (r3 review: --config/--model_file/--scores_file)."""
+    import pytest
+
+    from icl.cli.joint import main as jmain
+
+    for extra in (["--config", str(tmp_path / "c.json")],
+                  ["--model_file", str(tmp_path / "m")],
+                  ["--scores_file", str(tmp_path / "s.scores")]):
+        with pytest.raises(SystemExit):
+            jmain(["--predict", "--data_dir", str(tmp_path)] + extra)

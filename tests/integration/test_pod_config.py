@@ -82,3 +82,37 @@ def test_wrong_task_config_is_an_error(synth_dir, tmp_path):
     with pytest.raises(SystemExit):
         nv_cli.main(["--train", "--config", POD_CONFIG,
                      "--data_dir", synth_dir])
+
+
+def test_hosts_block_typo_is_hard_error(tmp_path):
+    """Unknown keys inside the 'hosts' block fail at parse time like
+    top-level keys do ('note'/underscore keys stay allowed) — a typo'd
+    num_proceses must not silently single-process a pod run (r3 review)."""
+    import json
+
+    import pytest
+
+    from icl.cli._common import base_parser, parse_task_args
+
+    cfg = {"task": "relation",
+           "hosts": {"coordinator": "h:1", "num_proceses": 64,
+                     "note": "doc keys are fine"}}
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps(cfg))
+    p = base_parser("relation", "t")
+    with pytest.raises(SystemExit):
+        parse_task_args(p, ["--train", "--data_dir", "d",
+                            "--config", str(path)], "relation")
+
+
+def test_abbreviated_config_flag_rejected(tmp_path):
+    """allow_abbrev=False: '--conf x.json' must be a parse error, not a
+    silently-ignored config (the pre-parse scan matches literal --config)."""
+    import pytest
+
+    from icl.cli._common import base_parser, parse_task_args
+
+    p = base_parser("relation", "t")
+    with pytest.raises(SystemExit):
+        parse_task_args(p, ["--train", "--data_dir", "d",
+                            "--conf", str(tmp_path / "x.json")], "relation")

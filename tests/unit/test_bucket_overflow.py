@@ -41,3 +41,37 @@ def test_relation_batcher_keeps_oversized_images():
         seen.extend(pid for _, _, pid in b.id_index)
     want = [pid for im in ds.images for pid in im.pair_ids]
     assert sorted(seen) == sorted(want)
+
+
+def test_ordered_pair_export_never_truncated():
+    """An image with more than M(M-1)/2 pair rows (ordered/both-direction
+    .feats export) gets a doubled pair capacity in the bucket key instead
+    of silently dropping labels and .scores ids (r3 review finding)."""
+    import numpy as np
+
+    from icl.data.imagebatch import RelationBatcher
+    from icl.data.pipeline import RelationDataset, RelationImage
+
+    M_real = 4
+    # all ordered pairs (i != j): 12 > 4*3/2 = 6
+    pairs = [(i, j) for i in range(M_real) for j in range(M_real) if i != j]
+    im = RelationImage(
+        img_id="x.jpg",
+        tokens=np.ones((1, 6), np.int32),
+        tok_len=np.full((1,), 6, np.int32),
+        m_cap=np.zeros(M_real, np.int32),
+        m_first=np.arange(M_real, dtype=np.int32),
+        m_last=np.arange(M_real, dtype=np.int32),
+        pair_ij=np.array(pairs, np.int32),
+        pair_label=np.arange(len(pairs), dtype=np.int32) % 4,
+        pair_key=np.array([(0, i, 0, j) for i, j in pairs], np.int32),
+    )
+    b = RelationBatcher(images_per_batch=1, with_ids=True)
+    (batch,) = list(b.batches(RelationDataset(images=[im])))
+    L, M, P, C = batch.shape_key
+    assert P >= len(pairs)
+    assert int(batch.arrays["pair_valid"].sum()) == len(pairs)
+    assert len(batch.id_index) == len(pairs)       # every id survives
+    # labels land unshuffled in file order
+    np.testing.assert_array_equal(
+        batch.arrays["pair_label"][0, :len(pairs)], im.pair_label)
