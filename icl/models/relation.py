@@ -78,16 +78,6 @@ def gather_mention_reps_scan(hs: jnp.ndarray, C: int, m_cap: jnp.ndarray,
     ], axis=-1)                                                  # [I,M,4H]
 
 
-def gather_pair_reps(mention_reps: jnp.ndarray, pair_ij: jnp.ndarray) -> jnp.ndarray:
-    """[I,M,R] mention reps + [I,P,2] index pairs → [I,P,2R] pair vectors."""
-    I, M, R = mention_reps.shape
-    flat = mention_reps.reshape(I * M, R)
-    img_off = (jnp.arange(I, dtype=jnp.int32) * M)[:, None]      # [I,1]
-    rep_i = jnp.take(flat, img_off + pair_ij[:, :, 0], axis=0)   # [I,P,R]
-    rep_j = jnp.take(flat, img_off + pair_ij[:, :, 1], axis=0)
-    return jnp.concatenate([rep_i, rep_j], axis=-1)
-
-
 class RelationModel(nn.Module):
     """Image-batch relation model; returns logits [I, P, 4].
 

@@ -143,9 +143,11 @@ def _keras_lstm_bias_init(key, shape, dtype=jnp.float32):
 class LSTM(nn.Module):
     """Unidirectional masked LSTM over [B, L, D] returning (outputs, final_h).
 
-    outputs: [B, L, H] hidden state at every step (zeros carried through at
-    padded steps — the carry holds the last valid state, so gathering at any
-    position t < length yields the encoding of tokens ≤ t).
+    outputs: [B, L, H] hidden state at every step.  At padded steps the
+    carry passes through unchanged (Keras masking), so positions ≥ length
+    hold the LAST VALID state, not zeros — consumers must mask or gather
+    at positions < length (gathering at any t < length yields the encoding
+    of tokens ≤ t).
     final_h: [B, H] hidden state at the last valid step of each row.
     """
 

@@ -54,21 +54,23 @@ def make_grid_eval_fn(model, table, eval_batches: list,
         uniform = (None if not degenerate
                    else _cell_weights(jb["grid_label"], jb["grid_valid"],
                                       None))
-        prepared.append((jb, jb["grid_label"], weights, uniform,
-                         float(jnp.sum(weights))))
+        prepared.append((jb, weights, uniform, float(jnp.sum(weights))))
 
     @jax.jit
-    def one(params, jb, labels, weights):
+    def one(params, jb, weights):
+        # labels come from jb's own grid_label — passing them as a second
+        # arg duplicated the array in every call signature (r3 review)
         return model.apply({"params": params}, table, jb,
-                           deterministic=True, loss_grid=(labels, weights))
+                           deterministic=True,
+                           loss_grid=(jb["grid_label"], weights))
 
     def eval_fn(state):
         loss_sum = hits = nval = 0.0
         wsum = 0.0
-        for jb, labels, weights, uniform, w in prepared:
-            ls, h, nv = one(state.params, jb, labels, weights)
+        for jb, weights, uniform, w in prepared:
+            ls, h, nv = one(state.params, jb, weights)
             if uniform is not None:
-                _, h, nv = one(state.params, jb, labels, uniform)
+                _, h, nv = one(state.params, jb, uniform)
             loss_sum += float(ls)
             hits += float(h)
             nval += float(nv)
