@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import time
 
@@ -298,6 +299,18 @@ def bench_affinity_train(images: int, nbatches: int, dtype: str,
     return _timed_scan_rate(run, (state, table, stacked, idx), cells)
 
 
+
+def _preserved_section(old: str, title_prefix: str, fallback: str) -> str:
+    """Return a '## <title>' section verbatim from the existing
+    BENCHMARKS.md.  The optimization ledger and scale-rehearsal sections
+    are a hand-maintained engineering record appended to across rounds —
+    regenerating the file must carry them forward, not reset them to
+    whatever snapshot this script last hard-coded (r3 review finding)."""
+    m = re.search(rf"(^## {re.escape(title_prefix)}.*?)(?=^## |\Z)", old,
+                  re.M | re.S)
+    return (m.group(1).rstrip() + "\n\n") if m else fallback
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=128)
@@ -353,8 +366,13 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
     }
     if args.full:
+        # bf16 predict is ~2x faster, so the same iter count leaves the
+        # per-call device time near the relay latency — triple it so the
+        # measurement is not latency-dominated (measured 17-20M pairs/s
+        # across sessions at >=200 ms device time; an early 21.8M reading
+        # at 28 ms device time reflected relay-day variance)
         rate_bf16 = (rate if args.dtype == "bf16" else
-                     bench_relation_tpu(args.images, args.iters, fused,
+                     bench_relation_tpu(args.images, args.iters * 3, fused,
                                         "bf16"))
         aff = bench_affinity_tpu(min(args.images, 32),
                                  max(args.iters, 30), fused, args.dtype)
@@ -364,7 +382,17 @@ def main():
         aff_train = bench_affinity_train(min(args.images, 32),
                                          max(args.iters // 4, 10), "bf16",
                                          fused=fused)
-        with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
+        bm_path = os.path.join(REPO, "BENCHMARKS.md")
+        old_doc = ""
+        if os.path.exists(bm_path):
+            with open(bm_path) as f0:
+                old_doc = f0.read()
+        ledger = _preserved_section(
+            old_doc, "Optimization ledger",
+            "## Optimization ledger (relation)\n\n(hand-maintained section"
+            " absent - see git history of BENCHMARKS.md)\n\n")
+        scale = _preserved_section(old_doc, "Scale rehearsal", "")
+        with open(bm_path, "w") as f:
             f.write(
                 "# Benchmarks\n\n"
                 f"Platform: {platform}; headline dtype {args.dtype} at "
@@ -412,73 +440,8 @@ def main():
                 "the session policy: one-pass-bf16 DEFAULT in production, "
                 "exact-f32 under 'highest' (parity contexts/tests).\n"
                 "- Training runs at 'default' precision (throughput).\n\n"
-                "## Optimization ledger (relation)\n\n"
-                "| change | effect |\n|---|---|\n"
-                f"| reference-style per-pair loop (CPU oracle) | "
-                f"{ref_rate:,.1f} pairs/s baseline |\n"
-                f"| batched jit, encode-each-caption-once, gather pairs | "
-                f"~{rate / ref_rate:,.0f}x |\n"
-                "| distributed pair head (project M mentions, not M^2/2 "
-                "pairs) | ~M/2x fewer head FLOPs |\n"
-                "| single-scan bidirectional LSTM + hoisted input "
-                "projection | +44% predict |\n"
-                "| fused grid-head Pallas kernel (K1/K2) | grid activations "
-                "never reach HBM |\n"
-                "| scan unroll 2/4/8/16 | neutral-to-negative, predict AND "
-                "train (kept 1) |\n"
-                "| tiled Pallas LSTM recurrence | negative result #1: bit-"
-                "exact but 1.7x slower (VMEM caps tiles at 32 rows; grid "
-                "programs serialize); scan is ~56 TFLOPS f32, near "
-                "compute-bound |\n"
-                "| [r2] DMA-double-buffered full-batch LSTM recurrence | "
-                "negative result #2: bit-exact, VMEM independent of L, but "
-                "per-direction programs double the sequential chain (6.39M "
-                "vs 9.20M pairs/s predict at f32-high) and the single-"
-                "program variant exceeds scoped VMEM (17.5MB f32 / ~30MB "
-                "bf16 vs 16MB; Mosaic bf16 logistic miscompiles) — see "
-                "icl/ops/lstm_kernel.py |\n"
-                "| [r2] grid_head_train custom-VJP kernel (in-kernel PRNG "
-                "dropout, on-chip recompute backward) | train step 4.2 -> "
-                "3.15 ms (the gather path materialized h + mask in HBM and "
-                "scatter-added through the gather transpose) |\n"
-                "| [r2] custom LSTM-recurrence VJP (cuDNN-style residuals; "
-                "dR hoisted out of the sequential loop) | train step 3.79 "
-                "-> 3.15 ms |\n"
-                "| [r2] single merged backward kernel + policy-selected "
-                "head-dot precision | train step 3.15 -> 2.67 ms |\n"
-                "| [r2] train batch-size sweep 128/256/512 | flat — "
-                "per-image scan work dominates; kept 128 |\n"
-                "| [r2] masked CE via one-hot product (no take_along "
-                "gather) | the optax label gather alone cost 0.16 ms/step "
-                "(TPU gathers vs a 4-lane iota-compare) |\n"
-                "| [r2] in-kernel CE loss (grid_head_train_loss) + "
-                "host-gridded labels | logits/probs never reach HBM; XLA "
-                "grid-CE ran at 4/128-lane utilization (0.43 ms/step) and "
-                "label scatters cost 0.24 ms/step — train step 2.62 -> "
-                "2.34 ms, relation train +22%, affinity train +63% |\n"
-                "| [r2] flat transposed [O,N] CE layout (single-tile "
-                "images) + b1 pre-folded into X | CE ops go from ~32 "
-                "O-minor vregs to ~2 fully-laned vregs per op; labels "
-                "arrive pre-flattened from XLA (in-kernel (Ta,Tb)->(1,N) "
-                "would be a sublane->lane relayout) — fwd loss kernel "
-                "0.172 -> 0.100 ms, step 2.35 -> 2.24 ms |\n"
-                "| [r2] BiLSTM outputs stay in compute_dtype; mention/"
-                "final-state gathers run in bf16 and promote AFTER | kills "
-                "~0.1 ms/step of [B,L,2H] f32 convert traffic; step 2.24 "
-                "-> 2.15 ms |\n"
-                "| [r2] bf16 elementwise grid math | negative result #3: "
-                "Mosaic packed-bf16 cmpf (even relu) fails to lower and "
-                "the i1 mask can't relayout to (16,128) tiling; VPU width "
-                "wasn't the bottleneck anyway (see grid_head_train._cd) |"
-                "\n"
-                "| [r2] flat transposed-output PREDICT kernel "
-                "(single-tile images, <=4MB activation) + b1 folded into "
-                "X | the head dot's O-minor output wasted 124/128 MXU "
-                "lanes; grid_head_pallas 0.261 -> 0.132 ms/call, predict "
-                "headline 9.4 -> 10.5M pairs/s |\n"
-                "| [r2] TG=8 images per program in the flat predict kernel | amortizes ~0.15 us/program Pallas grid overhead: grid_head_pallas 0.132 -> 0.117 ms/call; per-program gain too small to justify the same surgery on the loss kernels |\n"
-                "| [r2] host data path: threaded prefetch + train-mode batcher (no id-string/predict bookkeeping) + per-image padded-field cache | training was HOST-bound: batch assembly measured 5.1 ms (relation) / 9.9 ms (affinity) vs the 2.15 ms device step, and the old prefetch only buffered in-thread; now 1.8/1.9 ms steady-state and overlapped by a background thread |\n\n"
-                "## Timing methodology\n\n"
+                + ledger + scale +
+                                "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "
                 "stacked batches inside one jit call and forced by a scalar "
                 "host transfer; best of 5 calls; the measured fixed relay "
@@ -488,7 +451,10 @@ def main():
                 "through the axon relay (see bench.py docstrings). "
                 "Sub-relay-latency microbenchmarks are meaningless here — "
                 "kernel-level attribution uses jax.profiler device traces "
-                "instead (tools/profile_train.py).\n\n"
+                "instead (tools/profile_train.py). Rates also vary a few "
+                "percent across sessions with relay conditions — compare "
+                "numbers measured the same day (the table above is "
+                "regenerated in one run).\n\n"
                 "## Parity\n\n"
                 "\"Bit-compatible\" is operationalized per SURVEY §7.3: "
                 "bitwise-deterministic .scores across runs with fixed "
