@@ -56,6 +56,13 @@ def make_affinity_id(img_id: str, ci: int, mi: int, bi: int) -> str:
     return f"doc:{img_id};caption:{ci};mention:{mi};box:{bi}"
 
 
+# a zero-PADDED field is ':0' followed by another digit — a bare ':0' index
+# (caption 0, mention 0, box 0) is canonical and very common, so the
+# precheck must not false-positive on it (it would pay a re-serialize +
+# compare for most rows of a real split)
+_ZERO_PAD = re.compile(r":0\d")
+
+
 def _id_override(eid: str, canonical: str) -> str | None:
     """The exact file string when ``eid`` does not round-trip parse→format.
 
@@ -191,7 +198,7 @@ def load_relation_dataset(
         rows = labels_by_img.get(img)
         if rows is None:
             rows = labels_by_img.setdefault(img, array("i"))
-        if ":0" in eid:   # cheap zero-pad precheck, see _id_override
+        if _ZERO_PAD.search(eid):   # cheap precheck, see _id_override
             ov = _id_override(eid, make_pair_id(img, ci, mi, cj, mj))
             if ov is not None:
                 overrides_by_img.setdefault(img, {})[len(rows) // 5] = ov
@@ -293,7 +300,7 @@ def load_affinity_dataset(
         rows = cells.get(img)
         if rows is None:
             rows = cells.setdefault(img, array("i"))
-        if ":0" in eid:   # cheap zero-pad precheck, see _id_override
+        if _ZERO_PAD.search(eid):   # cheap precheck, see _id_override
             ov = _id_override(eid, make_affinity_id(img, ci, mi, bi))
             if ov is not None:
                 cell_overrides.setdefault(img, {})[(ci, mi, bi)] = ov
