@@ -30,51 +30,56 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-import re
 from array import array
 
 import numpy as np
 
 from icl.data.embeddings import EmbeddingStore
 from icl.io.boxes import group_boxes_by_image, read_box_feats
-from icl.io.captions import (Mention, make_pair_id, parse_pair_id,
+from icl.io.captions import (Mention, make_pair_id, parse_pair_id_padded,
                              read_captions, read_mentions)
 from icl.io.feats import read_feats_labels
 
-_AFF_ID_RE = re.compile(
-    r"doc:(?P<doc>[^;]+);caption:(?P<cap>\d+);mention:(?P<men>\d+);box:(?P<box>\d+)$")
+# affinity id grammar (implemented by hand below, see icl.io.captions):
+#   doc:(?P<doc>[^;]+);caption:(\d+);mention:(\d+);box:(\d+)$
 
 
 def parse_affinity_id(example_id: str) -> tuple[str, int, int, int]:
-    m = _AFF_ID_RE.match(example_id)
-    if not m:
-        raise ValueError(f"bad affinity id: {example_id!r}")
-    return m.group("doc"), int(m.group("cap")), int(m.group("men")), int(m.group("box"))
+    img, ci, mi, bi, _ = parse_affinity_id_padded(example_id)
+    return img, ci, mi, bi
+
+
+def parse_affinity_id_padded(
+        example_id: str) -> tuple[str, int, int, int, bool]:
+    """Manual parse of the affinity id grammar (3-4x faster at MSCOCO
+    scale, see icl.io.captions) plus the zero-padded-field flag — padded
+    ids don't round-trip re-serialization and take the exact-bytes
+    override path below."""
+    if example_id.startswith("doc:"):
+        doc, s1, rest = example_id[4:].partition(";caption:")
+        ci, s2, rest = rest.partition(";mention:")
+        mi, s3, bi = rest.partition(";box:")
+        if (s1 and s2 and s3 and doc and ";" not in doc
+                and ci.isdigit() and mi.isdigit() and bi.isdigit()
+                and (ci + mi + bi).isascii()):
+            return (doc, int(ci), int(mi), int(bi),
+                    (ci != "0" and ci[0] == "0")
+                    or (mi != "0" and mi[0] == "0")
+                    or (bi != "0" and bi[0] == "0"))
+    raise ValueError(f"bad affinity id: {example_id!r}")
 
 
 def make_affinity_id(img_id: str, ci: int, mi: int, bi: int) -> str:
     return f"doc:{img_id};caption:{ci};mention:{mi};box:{bi}"
 
 
-# a zero-PADDED field is ':0' followed by another digit — a bare ':0' index
-# (caption 0, mention 0, box 0) is canonical and very common, so the
-# precheck must not false-positive on it (it would pay a re-serialize +
-# compare for most rows of a real split)
-_ZERO_PAD = re.compile(r":0\d")
-
-
-def _id_override(eid: str, canonical: str) -> str | None:
-    """The exact file string when ``eid`` does not round-trip parse→format.
-
-    The id grammar is rigid (fixed field names/separators; the doc field is
-    copied verbatim), so the ONLY way a regex-valid id can differ from its
-    canonical re-serialization is a zero-padded numeric field ("…:007") —
-    i.e. a ':0' followed by more digits.  Callers gate on the cheap ':0'
-    substring scan and only then pay the full-string compare, so canonical
-    files (the overwhelming case) never build a second string per row.
-    Predict must emit the file's exact bytes — the downstream join (gold
-    `.feats` vs written `.scores`, SURVEY §6.2) is on raw strings."""
-    return eid if eid != canonical else None
+# The id grammar is rigid (fixed field names/separators; the doc field is
+# copied verbatim), so the ONLY way a valid id can differ from its
+# canonical re-serialization is a zero-padded numeric field (":007") —
+# which the parse_*_padded parsers flag for free during field validation.
+# Flagged rows store the file's exact bytes as an override: predict must
+# emit those bytes — the downstream join (gold `.feats` vs written
+# `.scores`, SURVEY §6.2) is on raw strings.
 
 
 def split_path(data_dir: str, split: str, what: str) -> str:
@@ -194,14 +199,12 @@ def load_relation_dataset(
     labels_by_img: dict[str, array] = {}
     overrides_by_img: dict[str, dict[int, str]] = {}
     for eid, lbl in zip(ids, flabels):
-        img, ci, mi, cj, mj = parse_pair_id(eid)
+        img, ci, mi, cj, mj, padded = parse_pair_id_padded(eid)
         rows = labels_by_img.get(img)
         if rows is None:
             rows = labels_by_img.setdefault(img, array("i"))
-        if _ZERO_PAD.search(eid):   # cheap precheck, see _id_override
-            ov = _id_override(eid, make_pair_id(img, ci, mi, cj, mj))
-            if ov is not None:
-                overrides_by_img.setdefault(img, {})[len(rows) // 5] = ov
+        if padded:
+            overrides_by_img.setdefault(img, {})[len(rows) // 5] = eid
         rows.extend((ci, mi, cj, mj, int(lbl)))
     del ids, flabels
 
@@ -259,7 +262,7 @@ class AffinityImage:
 
     def cell_id(self, ci: int, mi: int, bi: int) -> str:
         """§6.1 cell id for (caption, mention, box) — the file's exact
-        bytes when the feats id was non-canonical (see _id_override)."""
+        bytes when the feats id was non-canonical (zero-padded fields)."""
         if self.cell_id_overrides:
             ov = self.cell_id_overrides.get((ci, mi, bi))
             if ov is not None:
@@ -296,14 +299,12 @@ def load_affinity_dataset(
     cells: dict[str, array] = {}
     cell_overrides: dict[str, dict[tuple[int, int, int], str]] = {}
     for eid, lbl in zip(ids, flabels):
-        img, ci, mi, bi = parse_affinity_id(eid)
+        img, ci, mi, bi, padded = parse_affinity_id_padded(eid)
         rows = cells.get(img)
         if rows is None:
             rows = cells.setdefault(img, array("i"))
-        if _ZERO_PAD.search(eid):   # cheap precheck, see _id_override
-            ov = _id_override(eid, make_affinity_id(img, ci, mi, bi))
-            if ov is not None:
-                cell_overrides.setdefault(img, {})[(ci, mi, bi)] = ov
+        if padded:
+            cell_overrides.setdefault(img, {})[(ci, mi, bi)] = eid
         rows.extend((ci, mi, bi, int(lbl)))
     del ids, flabels
 
