@@ -33,7 +33,9 @@ class ScoreDict:
             self._correct += count
 
     def increment_all(self, golds: Iterable[Hashable], preds: Iterable[Hashable]) -> None:
-        for g, p in zip(golds, preds):
+        # strict: a silently dropped tail (mismatched lengths) is exactly
+        # the bug class this eval layer exists to catch
+        for g, p in zip(golds, preds, strict=True):
             self.increment(g, p)
 
     # -- metrics ---------------------------------------------------------

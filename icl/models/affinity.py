@@ -119,13 +119,16 @@ class AffinityModel(nn.Module):
         return logits
 
 
-def rank_boxes(logits: jnp.ndarray, box_valid: jnp.ndarray) -> jnp.ndarray:
+def rank_boxes(logits: jnp.ndarray, box_valid: jnp.ndarray,
+               affinity_col: int = 1) -> jnp.ndarray:
     """Per-image ranking distribution over candidate boxes (SURVEY §6.5).
 
     softmax over the box axis of the affinity-class logit, masked to valid
     boxes: [I,M,B,2] logits + [I,B] validity → [I,M,B] probabilities.
+    This is the ONE source of the masking convention — the fused-kernel
+    oracle (icl.ops.affinity_rank.affinity_rank_reference) composes it.
     """
-    aff = logits[..., 1]                                  # [I,M,B]
+    aff = logits[..., affinity_col]                       # [I,M,B]
     neg = jnp.finfo(aff.dtype).min
     masked = jnp.where(box_valid[:, None, :], aff, neg)
     probs = nn.softmax(masked, axis=-1)

@@ -34,13 +34,14 @@ from icl.ops.grid_head import _round_up, grid_head_reference
 
 def affinity_rank_reference(X, Y, b1, W2, b2, box_valid,
                             affinity_col: int = 1):
-    """[G,A,K],[G,B,K],[G,B] → [G,A,B] masked per-image ranking softmax."""
-    logits = grid_head_reference(X, Y, b1, W2, b2)[..., affinity_col]
-    neg = jnp.finfo(logits.dtype).min
-    masked = jnp.where(box_valid[:, None, :], logits, neg)
-    probs = jax.nn.softmax(masked, axis=-1)
-    any_valid = box_valid.any(axis=-1)[:, None, None]
-    return jnp.where(any_valid, probs * box_valid[:, None, :], 0.0)
+    """[G,A,K],[G,B,K],[G,B] → [G,A,B] masked per-image ranking softmax.
+
+    Composes the model's own rank_boxes so the masking convention has ONE
+    source (it used to be duplicated here and could silently diverge)."""
+    from icl.models.affinity import rank_boxes
+
+    return rank_boxes(grid_head_reference(X, Y, b1, W2, b2), box_valid,
+                      affinity_col=affinity_col)
 
 
 def _rank_kernel(x_ref, y_ref, b1_ref, w2_ref, b2_ref, valid_ref, out_ref):
@@ -69,9 +70,14 @@ def affinity_rank_pallas(X, Y, b1, W2, b2, box_valid,
     """Pallas TPU kernel; same contract as :func:`affinity_rank_reference`."""
     G, A, K = X.shape
     B = Y.shape[1]
-    Ta = min(block_a, _round_up(A, 8))
-    Ap = _round_up(A, Ta)
     Bp = _round_up(B, 8)
+    # VMEM-aware mention tile: the in-kernel [Ta,Bp,K] f32 activation is
+    # the dominant buffer — cap it at ~4 MB (grid_head_pallas discipline);
+    # with the default box buckets (<=32) this leaves Ta = block_a, but a
+    # 64/128-box bucket at K=1024 would otherwise blow the ~16 MB core
+    Ta = min(block_a, _round_up(A, 8),
+             max(8, (4 * 2**20 // (Bp * K * 4)) // 8 * 8))
+    Ap = _round_up(A, Ta)
     Xp = jnp.pad(X, ((0, 0), (0, Ap - A), (0, 0)))
     Yp = jnp.pad(Y, ((0, 0), (0, Bp - B), (0, 0)))
     # [G, 1, Bp]: a (1, 1, Bp) block satisfies the sublane rule (dim == 1
@@ -108,9 +114,12 @@ def affinity_rank_pallas(X, Y, b1, W2, b2, box_valid,
     return out[:, :A, :B]
 
 
-def rank_boxes_fused(X, Y, b1, W2, b2, box_valid, use_pallas: bool | None = None):
+def rank_boxes_fused(X, Y, b1, W2, b2, box_valid,
+                     use_pallas: bool | None = None, affinity_col: int = 1):
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
-        return affinity_rank_pallas(X, Y, b1, W2, b2, box_valid)
-    return affinity_rank_reference(X, Y, b1, W2, b2, box_valid)
+        return affinity_rank_pallas(X, Y, b1, W2, b2, box_valid,
+                                    affinity_col=affinity_col)
+    return affinity_rank_reference(X, Y, b1, W2, b2, box_valid,
+                                   affinity_col=affinity_col)

@@ -100,6 +100,10 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     G, A, K = X.shape
     B = Y.shape[1]
     O = W2.shape[1]
+    if G == 0 or A == 0 or B == 0:
+        # same contract as grid_head_reference (empty grid, no kernel) —
+        # a zero tile dim would divide by zero in the padding math
+        return jnp.zeros((G, A, B, O), jnp.float32)
     # sublane-dim tiles need only 8-multiples; rounding small A/B up to the
     # full block would pad 16-mention grids to 128 rows (8x wasted work)
     Ta = min(block_a, _round_up(A, 8))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 
 import numpy as np
 
@@ -37,9 +38,6 @@ class SynthConfig:
     seed: int = 0
 
 
-WORDS = None  # built per config
-
-
 def _make_vocab(cfg: SynthConfig) -> list[str]:
     return [f"w{i:03d}" for i in range(cfg.vocab_size)]
 
@@ -48,12 +46,21 @@ def generate_dataset(data_dir: str, split: str = "train",
                      cfg: SynthConfig | None = None) -> dict:
     """Write a full synthetic split into data_dir; returns summary counts."""
     cfg = cfg or SynthConfig()
-    rng = np.random.default_rng(cfg.seed + (hash(split) % 1000))
+    # stable split salt: hash() is process-salted (PYTHONHASHSEED), which
+    # would make "golden" fixtures irreproducible across runs
+    rng = np.random.default_rng(
+        cfg.seed + (zlib.crc32(split.encode()) % 1000))
     os.makedirs(data_dir, exist_ok=True)
     words = _make_vocab(cfg)
 
     # embeddings (one file per dir, shared by splits) — word2vec text format
     emb_path = os.path.join(data_dir, "embeddings.txt")
+    # cache keyed on the header: a second split generated with a larger
+    # vocab/dim must not silently reuse a stale, too-small table
+    if os.path.exists(emb_path):
+        with open(emb_path, "r", encoding="utf-8") as f:
+            if f.readline().strip() != f"{cfg.vocab_size} {cfg.emb_dim}":
+                os.remove(emb_path)
     if not os.path.exists(emb_path):
         emb_rng = np.random.default_rng(cfg.seed)
         vecs = emb_rng.normal(size=(cfg.vocab_size, cfg.emb_dim)).astype(np.float32)
@@ -98,7 +105,9 @@ def generate_dataset(data_dir: str, split: str = "train",
                      else int(entity_words[ent]))
                 toks[start] = words[w]
                 end = min(start + int(rng.integers(0, 2)), length - 1)
-                if start <= prev_last or (mi + 1 < len(spans) and end >= spans[mi + 1]):
+                # clamp below the next span start (spans are sorted and
+                # distinct, so prior clamps already keep prev_last < start)
+                if mi + 1 < len(spans) and end >= spans[mi + 1]:
                     end = start
                 end = max(start, end)
                 prev_last = end
