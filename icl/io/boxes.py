@@ -67,8 +67,21 @@ def _mmap_npz_member(path: str, name: str) -> np.memmap | None:
             header = ast.literal_eval(f.read(hlen).decode("latin1"))
             if header.get("fortran_order"):
                 return None
-        return np.memmap(path, dtype=np.dtype(header["descr"]), mode="r",
-                         offset=hdr_end, shape=tuple(header["shape"]))
+            dt = np.dtype(header["descr"])
+            shape = tuple(header["shape"])
+            if dt != np.float32:
+                # the eager path casts to f32; a pass-through f64 memmap
+                # would silently vary dtype (and double page-in bytes)
+                # with a performance flag — fall back and cast eagerly
+                return None
+            # the header's claimed extent must exactly fill the zip
+            # member, else the memmap would silently read into the NEXT
+            # member's bytes (truncated/hand-edited archives)
+            nbytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+            if (hdr_end - data_off) + nbytes != info.file_size:
+                return None
+        return np.memmap(path, dtype=dt, mode="r",
+                         offset=hdr_end, shape=shape)
     except (KeyError, ValueError, OSError, SyntaxError, struct.error,
             IndexError):
         # any structural surprise (incl. truncated members: short reads

@@ -34,9 +34,14 @@ class FeatsExample:
     values: np.ndarray   # float32
 
     def to_dense(self, max_idx: int) -> np.ndarray:
-        """Densify to float32[max_idx]; feature i lands at position i-1."""
+        """Densify to float32[max_idx]; feature i lands at position i-1.
+
+        Indices are 1-based (§6.1 LibSVM form); out-of-range ones — 0,
+        negative, or > max_idx — are ignored rather than wrapping to the
+        tail via negative indexing (r3 review finding)."""
         out = np.zeros(max_idx, dtype=np.float32)
-        out[self.indices - 1] = self.values
+        keep = (self.indices >= 1) & (self.indices <= max_idx)
+        out[self.indices[keep] - 1] = self.values[keep]
         return out
 
 
@@ -48,6 +53,11 @@ def parse_sparse_line(line: str) -> FeatsExample | None:
     body, _, comment = stripped.partition("#")
     example_id = comment.strip()
     parts = body.split()
+    if "_" in body:
+        # Python's numeric grammar accepts '1_0.5' where C strtod stops at
+        # the underscore — reject up front so line-keeping cannot differ by
+        # whether the native .so built (the C side rejects hex similarly)
+        raise ValueError(f"underscore in numeric body: {body!r}")
     label = float(parts[0])
     n = len(parts) - 1
     indices = np.empty(n, dtype=np.int32)
@@ -71,7 +81,10 @@ def iter_feats(path: str) -> Iterator[FeatsExample]:
         for line in f:
             try:
                 ex = parse_sparse_line(line)
-            except ValueError:
+            except (ValueError, OverflowError):
+                # OverflowError: a feature index outside int32 (numpy 2.x
+                # raises it, not ValueError) — the native parser drops the
+                # same line via its explicit range check
                 skipped += 1
                 continue
             if ex is not None:
@@ -116,8 +129,11 @@ def iter_feats_labels(path: str) -> Iterator[tuple[str, float]]:
             if not s or s.startswith("#"):
                 continue
             body, _, comment = s.partition("#")
+            lab_tok = body.split(None, 1)[0]
             try:
-                label = float(body.split(None, 1)[0])
+                if "_" in lab_tok:     # match the C grammar, see above
+                    raise ValueError(lab_tok)
+                label = float(lab_tok)
             except ValueError:
                 skipped += 1
                 continue
@@ -186,7 +202,7 @@ def to_dense_matrix(
         if ex.indices.size:
             # features beyond max_idx (unseen at train time when densifying
             # a prediction split) are ignored, matching LibLinear semantics
-            keep = ex.indices <= max_idx
+            keep = (ex.indices >= 1) & (ex.indices <= max_idx)
             X[r, ex.indices[keep] - 1] = ex.values[keep]
         y[r] = ex.label
         ids.append(ex.example_id)

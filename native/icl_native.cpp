@@ -37,6 +37,14 @@ inline bool token_ends_ok(const char* next, const char* end) {
          *next == '\n' || *next == '#';
 }
 
+// strtod accepts C-only grammar Python float() rejects — hex floats
+// ("0x1A").  Reject them so line-keeping matches the Python parser
+// (which symmetrically rejects Python-only '1_0.5' underscores).
+inline bool hex_prefixed(const char* p) {
+  if (*p == '+' || *p == '-') ++p;
+  return p[0] == '0' && (p[1] == 'x' || p[1] == 'X');
+}
+
 // Parse one line in place; 0 = blank/comment, 1 = example, -1 = malformed
 // (the whole line is dropped and rolled back — matching the pure-Python
 // parser, which skips any line whose label or idx:val tokens fail to parse,
@@ -46,6 +54,7 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
   if (p >= end || *p == '#' || *p == '\n') return 0;
 
   char* next = nullptr;
+  if (hex_prefixed(p)) return -1;
   double label = strtod(p, &next);
   if (next == p || !token_ends_ok(next, end)) return -1;
   p = next;
@@ -68,15 +77,16 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
       break;
     }
     long idx = strtol(p, &next, 10);
-    if (next == p || *next != ':') {   // malformed token: drop the line
-      out->labels.pop_back();
-      out->indices.resize(n0);
-      out->values.resize(n0);
+    if (next == p || *next != ':' ||
+        idx < INT32_MIN || idx > INT32_MAX) {  // malformed/out-of-range:
+      out->labels.pop_back();                  // drop the line (Python
+      out->indices.resize(n0);                 // raises OverflowError and
+      out->values.resize(n0);                  // skips it identically)
       return -1;
     }
     p = next + 1;
     float val = strtof(p, &next);
-    if (next == p || !token_ends_ok(next, end)) {
+    if (next == p || hex_prefixed(p) || !token_ends_ok(next, end)) {
       out->labels.pop_back();
       out->indices.resize(n0);
       out->values.resize(n0);
@@ -202,7 +212,8 @@ void* feats_parse_labels(const char* path) {
     while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
     if (q < line_end && *q != '#') {     // not blank / comment-only
       char* next = nullptr;
-      double label = strtod(q, &next);
+      double label = (hex_prefixed(q) ? (next = (char*)q, 0.0)
+                                      : strtod(q, &next));
       if (next != q && token_ends_ok(next, line_end)) {
         d->labels.push_back(label);      // else: malformed, counted below
         const char* hash = (const char*)memchr(q, '#', line_end - q);
@@ -270,7 +281,7 @@ int scores_write(const char* path, const char* const* ids, const double* probs,
       return -2;
     }
   }
-  fclose(f);
+  if (fclose(f) != 0) return -3;  // buffered flush can fail (disk full)
   return 0;
 }
 

@@ -83,3 +83,43 @@ def test_box_feats_text_roundtrip(tmp_path):
     rids, rfeats = read_box_feats(p)
     assert rids == ids
     np.testing.assert_allclose(rfeats, feats)
+
+
+def test_mmap_rejects_inconsistent_member(tmp_path):
+    """A feats.npy whose header extent disagrees with the zip member size
+    (truncated/hand-edited archive) must fall back to the eager load, not
+    silently memmap into the next member's bytes (r3 review)."""
+    import zipfile
+
+    import numpy as np
+
+    from icl.io.boxes import _mmap_npz_member
+
+    p = str(tmp_path / "b.npz")
+    feats = np.arange(12, dtype=np.float32).reshape(3, 4)
+    ids = np.array(["a", "b", "c"])
+    np.savez(p, feats=feats, ids=ids)            # STORED members
+    good = _mmap_npz_member(p, "feats.npy")
+    assert good is not None and good.shape == (3, 4)
+    # corrupt the header's claimed shape in place: (3, 4) -> (9, 4)
+    raw = bytearray(open(p, "rb").read())
+    idx = raw.find(b"(3, 4)")
+    assert idx > 0
+    raw[idx:idx + 6] = b"(9, 4)"
+    open(p, "wb").write(bytes(raw))
+    assert _mmap_npz_member(p, "feats.npy") is None
+
+
+def test_mmap_rejects_non_f32_member(tmp_path):
+    """dtype must not vary with the mmap performance flag: f64 members
+    fall back to the eager path's f32 cast (r3 review)."""
+    import numpy as np
+
+    from icl.io.boxes import _mmap_npz_member, read_box_feats
+
+    p = str(tmp_path / "b64.npz")
+    np.savez(p, feats=np.ones((2, 3), np.float64),
+             ids=np.array(["a", "b"]))
+    assert _mmap_npz_member(p, "feats.npy") is None
+    ids, feats = read_box_feats(p, mmap=True)
+    assert feats.dtype == np.float32

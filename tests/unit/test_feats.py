@@ -134,3 +134,29 @@ def test_malformed_lines_skip_identically(tmp_path):
         assert ids == ["doc:a", "doc:bad3", "doc:b"], use_native
         assert labels.tolist() == [1.0, 0.0, 0.5]
     LOG._log.removeHandler(h)
+
+
+def test_numeric_grammar_parity_and_range(tmp_path):
+    """Grammar quirks where Python float() and C strtod diverge — hex
+    floats, underscore separators, out-of-int32 indices — are rejected
+    IDENTICALLY by both parsers (r3 review: line-keeping used to depend on
+    whether the .so built)."""
+    import numpy as np
+
+    from icl.io.feats import FeatsExample, read_feats
+
+    p = str(tmp_path / "g.feats")
+    with open(p, "w") as f:
+        f.write("1 2:0.5 # doc:a\n"
+                "1_0.5 1:2 # doc:u\n"           # Python-only underscores
+                "3 1:0x1A # doc:h\n"            # C-only hex float
+                "0x2 1:1.0 # doc:hl\n"          # hex label
+                "2 99999999999:1.0 # doc:o\n"   # index beyond int32
+                "0.5 4:1.0 # doc:b\n")
+    for use_native in (False, True):
+        full = read_feats(p, use_native=use_native)
+        assert [e.example_id for e in full] == ["doc:a", "doc:b"], use_native
+    # densify ignores out-of-range indices instead of wrapping to the tail
+    ex = FeatsExample("x", 1.0, np.array([0, 2, 9], np.int32),
+                      np.array([5.0, 7.0, 9.0], np.float32))
+    assert ex.to_dense(3).tolist() == [0.0, 7.0, 0.0]
