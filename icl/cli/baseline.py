@@ -20,16 +20,23 @@ import pickle
 
 import numpy as np
 
+from icl.data.pairs import RELATION_CLASSES
 from icl.eval.scoredict import ScoreDict
 from icl.io.feats import read_feats, to_dense_matrix
 from icl.io.scores import write_scores
+from icl.models.affinity import AFFINITY_CLASSES
+from icl.models.cardinality import CARDINALITY_CLASSES
+from icl.models.nonvisual import NONVIS_CLASSES
 from icl.util.log import LOG
 
+# the canonical §6.3-6.5 class orders — imported from their single
+# sources so baseline .scores can never silently diverge from the
+# neural .scores the Java ILP consumes interchangeably
 TASK_CLASSES = {
-    "nonvisual": ("visual", "nonvisual"),
-    "relation": ("null", "coref", "subset_ij", "subset_ji"),
-    "affinity": ("no_affinity", "affinity"),
-    "cardinality": tuple(str(i) for i in range(11)) + ("11+",),
+    "nonvisual": NONVIS_CLASSES,
+    "relation": RELATION_CLASSES,
+    "affinity": AFFINITY_CLASSES,
+    "cardinality": CARDINALITY_CLASSES,
 }
 
 
@@ -76,9 +83,16 @@ def main(argv=None) -> None:
     clf, max_idx = saved["clf"], saved["max_idx"]
     X, y, ids = to_dense_matrix(rows, max_idx=max_idx)
     raw = clf.predict_proba(X)
-    # emit full class columns even if training saw a subset of labels
+    # emit full class columns even if training saw a subset of labels;
+    # labels outside [0, num_classes) are a data error, not an index to
+    # wrap into the wrong column (r3 review)
     probs = np.zeros((len(ids), len(classes)))
     for col, cls in enumerate(clf.classes_):
+        if not 0 <= int(cls) < len(classes):
+            raise SystemExit(
+                f"label {cls!r} in the trained model is outside the "
+                f"{len(classes)}-class order for task {args.task!r} — "
+                f"check the training .feats labels")
         probs[:, int(cls)] = raw[:, col]
     scores_path = args.scores_file or os.path.join(
         args.data_dir, f"{args.data_split}.{args.task}.logistic.scores")
@@ -89,6 +103,9 @@ def main(argv=None) -> None:
     if args.eval:
         sd = ScoreDict(labels=list(classes))
         for g, pr in zip(y.astype(int), probs.argmax(-1)):
+            if not 0 <= g < len(classes):
+                raise SystemExit(f"gold label {g} outside the "
+                                 f"{len(classes)}-class order")
             sd.increment(classes[g], classes[int(pr)])
         print(sd.table())
 

@@ -52,9 +52,12 @@ _IMG_SPEC = BucketSpec((1, 2, 4, 8))   # images per predict call (batched)
 # startup warm-up inventory (VERDICT r1 missing#5): the shapes a typical
 # Flickr30k-style client hits first. 'basic' keeps TPU startup under ~2 min;
 # 'full' walks the whole bucket cross-product.
+# C follows the same _CNT_SPEC bucketing _prep_relation_image applies
+# (5 captions -> bucket 8): warm-up must compile the EXACT shapes real
+# requests produce or the first request recompiles anyway
 _WARMUP_BASIC = {
     "mentions": [(8, 16)],                      # (count, L)
-    "relation": [(1, 5, 16, 8), (4, 5, 16, 8)],  # (I, C, L, M)
+    "relation": [(1, 8, 16, 8), (4, 8, 16, 8)],  # (I, C, L, M)
     "affinity": [(1, 8, 8, 16), (4, 8, 8, 16)],  # (I, M, B, L)
 }
 
@@ -129,32 +132,45 @@ class _Coalescer:
             with self._lock:
                 batch, self._pending = self._pending, []
                 self._wakeup.clear()
-            groups: dict[tuple, list] = {}
-            for e in batch:
-                groups.setdefault((e["task"], e["key"]), []).append(e)
-            for (task, key), entries in groups.items():
-                try:
-                    rows = self._run_group(task, key,
-                                           [e["arrays"] for e in entries])
-                    for e, r in zip(entries, rows):
-                        e["result"] = r
-                except Exception as exc:
-                    if len(entries) == 1:
-                        # a group of one just records its error — re-running
-                        # it would double device load for every bad request
-                        entries[0]["error"] = exc
-                    else:
-                        # isolate the culprit: rescore each item alone so
-                        # only the offending request fails
-                        for e in entries:
-                            try:
-                                e["result"] = self._run_group(
-                                    task, key, [e["arrays"]])[0]
-                            except Exception as exc1:
-                                e["error"] = exc1
-                finally:
+            try:
+                self._run_batch(batch)
+            except BaseException as exc:   # noqa: BLE001 — see below
+                # the collector is the ONLY drain: if this thread dies,
+                # every in-flight and future request hangs forever in
+                # submit_many.  Fail the batch and keep the thread alive
+                # (per-group errors are already handled inside).
+                for e in batch:
+                    if e["result"] is None and e["error"] is None:
+                        e["error"] = exc
+                    e["done"].set()
+
+    def _run_batch(self, batch):
+        groups: dict[tuple, list] = {}
+        for e in batch:
+            groups.setdefault((e["task"], e["key"]), []).append(e)
+        for (task, key), entries in groups.items():
+            try:
+                rows = self._run_group(task, key,
+                                       [e["arrays"] for e in entries])
+                for e, r in zip(entries, rows):
+                    e["result"] = r
+            except Exception as exc:
+                if len(entries) == 1:
+                    # a group of one just records its error — re-running
+                    # it would double device load for every bad request
+                    entries[0]["error"] = exc
+                else:
+                    # isolate the culprit: rescore each item alone so
+                    # only the offending request fails
                     for e in entries:
-                        e["done"].set()
+                        try:
+                            e["result"] = self._run_group(
+                                task, key, [e["arrays"]])[0]
+                        except Exception as exc1:
+                            e["error"] = exc1
+            finally:
+                for e in entries:
+                    e["done"].set()
 
 
 class Scorer:
@@ -201,19 +217,23 @@ class Scorer:
             return {"classes": classes, "params": state.params,
                     "predict": make_mention_predict(model.apply)}
         if task == "relation":
+            import jax as _jax
             model = RelationModel(lstm_hidden=cfg.get("lstm_hidden", 200),
                                   head_hidden=cfg.get("head_hidden", 800),
-                                  dropout=0.0)
+                                  dropout=0.0,
+                                  fused=_jax.devices()[0].platform == "tpu")
             batch = _empty_relation_batch(2, 2, 8, 4)
             state = create_train_state(model, (self.table, batch))
             state = Checkpointer(model_dir).restore(state)
             return {"classes": RELATION_CLASSES, "params": state.params,
                     "predict": make_relation_predict(model.apply)}
         if task == "affinity":
+            import jax as _jax
             model = AffinityModel(lstm_hidden=cfg.get("lstm_hidden", 200),
                                   head_hidden=cfg.get("head_hidden", 1024),
                                   dropout=0.0,
-                                  phrase_enc=cfg.get("phrase_enc", "lstm"))
+                                  phrase_enc=cfg.get("phrase_enc", "lstm"),
+                                  fused=_jax.devices()[0].platform == "tpu")
             # box_dim is a checkpoint shape property (4096 for real VGG fc7);
             # 64 is the pre-box_dim-era fallback for old model_config.json
             box_dim = cfg.get("box_dim", 64)
@@ -240,7 +260,8 @@ class Scorer:
             inv = {
                 "mentions": [(n, L) for n in _CNT_SPEC.boundaries
                              for L in _LEN_SPEC.boundaries],
-                "relation": [(I, 5, L, M) for I in (1, 4)
+                "relation": [(I, _CNT_SPEC.bucket_of(5), L, M)
+                             for I in (1, 4)
                              for L in _LEN_SPEC.boundaries
                              for M in _CNT_SPEC.boundaries],
                 "affinity": [(I, M, B, 8) for I in (1, 4)
@@ -296,13 +317,22 @@ class Scorer:
         """One image → (shape_key, host arrays without batch dim, pairs)."""
         captions = img["captions"]
         ments = img["mentions"]
-        pairs = img.get("pairs") or [
-            [i, j] for i in range(len(ments))
-            for j in range(i + 1, len(ments))]
-        C = max(len(captions), 1)
+        # an explicit empty pairs list means "score nothing", not
+        # "auto-generate all pairs" (r3 review)
+        pairs = img.get("pairs")
+        if pairs is None:
+            pairs = [[i, j] for i in range(len(ments))
+                     for j in range(i + 1, len(ments))]
+        # every shape dim is BUCKETED: client-controlled exact sizes would
+        # let each distinct caption/pair count force a fresh XLA compile on
+        # the collector thread (compile-cache DoS, r3 review).  P follows
+        # the batcher's doubling policy for over-capacity pair lists.
+        C = _CNT_SPEC.bucket_of(max(len(captions), 1))
         L = _LEN_SPEC.bucket_of(max((len(c) for c in captions), default=1))
         M = _CNT_SPEC.bucket_of(max(len(ments), 1))
-        P = max(M * (M - 1) // 2, len(pairs))
+        P = max(M * (M - 1) // 2, 1)
+        while P < len(pairs):
+            P *= 2
         tok = np.zeros((C, L), np.int32)
         tl = np.zeros(C, np.int32)
         for c, toks in enumerate(captions):

@@ -327,3 +327,66 @@ def test_coalesced_failure_is_isolated(served):
         co.window = old_window
     assert results["clean"][0] == 200, results["clean"]
     assert results["bad"][0] == 400 and "poisoned" in results["bad"][1]["error"]
+
+
+def test_explicit_empty_pairs_scores_nothing(served):
+    """'pairs': [] means score nothing — it used to fall through `or` to
+    the all-pairs cross product (r3 review)."""
+    url, _ = served
+    status, body = _post(url, "/score/relation", {
+        "images": [{"captions": [["w001", "w002"]],
+                    "mentions": [{"caption": 0, "first": 0, "last": 1},
+                                 {"caption": 0, "first": 1, "last": 1}],
+                    "pairs": []}]})
+    assert status == 200
+    assert body["images"][0]["pairs"] == []
+
+
+def test_pair_count_shapes_are_bucketed(served):
+    """Client-controlled pair counts must map onto a bounded shape
+    inventory (doubling buckets), not one XLA compile per count."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    t = scorer.tasks["relation"]
+
+    def req(npairs):
+        ments = [{"caption": 0, "first": 0, "last": 1}] * 4
+        pairs = [[0, 1]] * npairs
+        status, _ = _post(url, "/score/relation", {
+            "images": [{"captions": [["w001", "w002"]],
+                        "mentions": ments, "pairs": pairs}]})
+        assert status == 200
+
+    req(40)                       # establish the first doubled bucket
+    size_before = t["predict"]._cache_size()
+    for n in (41, 44, 47):        # same doubled bucket (<=48)
+        req(n)
+    assert t["predict"]._cache_size() == size_before
+
+
+def test_collector_thread_survives_basexception(served):
+    """A non-Exception escape inside the collector fails the batch but
+    keeps the drain thread alive (it used to die silently and wedge every
+    later request, r3 review)."""
+    url, httpd = served
+    scorer = httpd.RequestHandlerClass.scorer
+    coal = scorer.coalescer
+    orig = coal._run_group
+
+    def boom(*a, **k):
+        raise SystemExit("injected")
+
+    coal._run_group = boom
+    try:
+        status, body = _post(url, "/score/nonvisual", {
+            "mentions": [{"tokens": ["w001"]}]})
+        # SystemExit propagates through submit_many → uncaught in handler
+        # would drop the connection; either a clean error status is fine,
+        # as long as the server still works afterwards:
+    except Exception:
+        pass
+    finally:
+        coal._run_group = orig
+    status, body = _post(url, "/score/nonvisual", {
+        "mentions": [{"tokens": ["w001"]}]})
+    assert status == 200 and "scores" in body

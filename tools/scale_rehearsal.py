@@ -9,9 +9,11 @@ then measures:
 * RSS after load and peak RSS across the run,
 * steady training throughput over --steps steps (threaded prefetch, same
   path as the CLI), separately for relation and affinity,
-* time-to-resume: wall time from process start of a --resume auto run to
-  its first completed step at a mid-training checkpoint (skip-aware
-  schedule: no host-side replay of trained batches).
+* time-to-resume: wall time of a --resume auto run capped at ONE step
+  from a mid-training checkpoint (skip-aware schedule: no host-side
+  replay of trained batches).  NOTE: the window also includes the capped
+  run's own end-of-run checkpoint save + manager close (~1-2 s), so it
+  slightly overstates pure restore+rebuild+step latency.
 
 Run on the TPU host: ``python3 tools/scale_rehearsal.py --images 50000
 --steps 500``.  Results are recorded in BENCHMARKS.md §scale.
@@ -45,9 +47,14 @@ def peak_rss_mb() -> float:
 
 def ensure_dataset(data_dir: str, images: int) -> float:
     """Generate the split once; returns generation seconds (0 if cached)."""
-    marker = os.path.join(data_dir, f".scale_{images}.done")
+    marker = os.path.join(data_dir, ".scale.done")
+    # one marker holding the image count: re-running with a different
+    # --images against the same dir must regenerate, not silently measure
+    # the other split (r3 review)
     if os.path.exists(marker):
-        return 0.0
+        with open(marker) as f:
+            if f.read().strip() == str(images):
+                return 0.0
     from icl.testing.synth import SynthConfig, generate_dataset
 
     t0 = time.perf_counter()
@@ -58,7 +65,7 @@ def ensure_dataset(data_dir: str, images: int) -> float:
         seed=0))
     dt = time.perf_counter() - t0
     with open(marker, "w") as f:
-        json.dump(counts, f)
+        f.write(str(images))
     return dt
 
 
@@ -101,7 +108,7 @@ def _train_capped(task, ds, emb, steps, ipb, ckpt_dir=None, resume="none",
 
     b0 = next(iter(batcher.batches(ds)))
     jb0 = {k: jnp.asarray(v) for k, v in b0.arrays.items()}
-    state = create_train_state(model, (jnp.asarray(emb.table), jb0), seed=seed)
+    state = create_train_state(model, (table, jb0), seed=seed)
     state = replicate(state, mesh)
 
     counts = {"n": 0, "examples": 0, "built": 0}
@@ -116,7 +123,11 @@ def _train_capped(task, ds, emb, steps, ipb, ckpt_dir=None, resume="none",
             counts["n"] += 1
             counts["built"] += 1
             counts["examples"] += int(b.arrays[count_key].sum())
-            yield ({k: jnp.asarray(v) for k, v in b.arrays.items()},)
+            jb = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+            # same sharded feed as the CLI (icl/cli/relation.py) — a no-op
+            # placement on the 1-chip bench host, real DP on a multi-chip
+            # one, so the measured path matches production either way
+            yield (shard_batch(jb, mesh),)
         if kill:
             raise _Killed()
 

@@ -47,11 +47,17 @@ def summarize(path: str, top: int = 30):
             cnt[key] += 1
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
     print(f"{'total ms':>9}  {'calls':>6}  lane / op")
-    shown = 0
+    shown = host_shown = 0
     for (proc, name), dur in rows:
         is_dev = "TPU" in str(proc) or "GPU" in str(proc)
-        if not is_dev and shown > 5:
-            continue
+        if not is_dev:
+            # cap HOST rows only (they dominate raw totals but rarely
+            # matter) — device rows always flow up to --top, and a trace
+            # with no device lanes still honors --top on host rows
+            host_shown += 1
+            if host_shown > 6 and any(
+                    "TPU" in str(p) or "GPU" in str(p) for p, _ in agg):
+                continue
         print(f"{dur/1000:9.2f}  {cnt[(proc, name)]:6d}  [{proc}] "
               f"{name[:100]}")
         shown += 1
