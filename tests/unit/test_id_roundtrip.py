@@ -80,3 +80,54 @@ def test_pair_ids_cached_and_stable(synth_dir):
     im = ds.images[0]
     first = im.pair_ids
     assert im.pair_ids is first              # cached_property: derived once
+
+
+def test_manual_parsers_pin_the_grammar():
+    """The hand-rolled parsers must reject exactly what the old anchored
+    regexes rejected (plus unicode digits / trailing newlines, which are
+    deliberately narrower — see icl/io/captions.py grammar note)."""
+    import pytest
+
+    from icl.data.pipeline import parse_affinity_id, parse_affinity_id_padded
+    from icl.io.captions import (parse_mention_id, parse_mention_id_padded,
+                                 parse_pair_id, parse_pair_id_padded)
+
+    assert parse_mention_id("doc:a.jpg;caption:0;mention:12") == \
+        ("a.jpg", 0, 12)
+    assert parse_pair_id(
+        "doc:a.jpg;caption_1:1;mention_1:0;caption_2:2;mention_2:3") == \
+        ("a.jpg", 1, 0, 2, 3)
+    assert parse_affinity_id("doc:a.jpg;caption:0;mention:1;box:9") == \
+        ("a.jpg", 0, 1, 9)
+    # padded flags
+    assert parse_mention_id_padded("doc:a;caption:07;mention:1")[-1] is True
+    assert parse_mention_id_padded("doc:a;caption:0;mention:1")[-1] is False
+    assert parse_pair_id_padded(
+        "doc:a;caption_1:0;mention_1:00;caption_2:1;mention_2:2")[-1] is True
+    assert parse_affinity_id_padded(
+        "doc:a;caption:0;mention:1;box:010")[-1] is True
+
+    bad_mentions = [
+        "doc:a.jpg;caption:x;mention:1",       # non-digit
+        "doc:a.jpg;caption:1;mention:",        # empty field
+        "doc:;caption:1;mention:2",            # empty doc
+        "doc:a;b.jpg;caption:1;mention:2",     # ';' in doc
+        "doc:a.jpg;caption:1;mention:2\n",     # trailing newline
+        "doc:a.jpg;caption:١;mention:2",       # unicode digit
+        "doc:a.jpg;caption:1;mention:2;extra", # trailing junk
+        "Xdoc:a.jpg;caption:1;mention:2",      # bad prefix
+        "doc:a.jpg;caption:-1;mention:2",      # sign
+    ]
+    for s in bad_mentions:
+        with pytest.raises(ValueError):
+            parse_mention_id(s)
+    for s in ("doc:a;caption_1:1;mention_1:2;caption_2:3;mention_2:4x",
+              "doc:a;caption_1:1;mention_1:2;caption_2:3",
+              "doc:a;caption:1;mention:2"):
+        with pytest.raises(ValueError):
+            parse_pair_id(s)
+    for s in ("doc:a;caption:1;mention:2",
+              "doc:a;caption:1;mention:2;box:", 
+              "doc:a;caption:1;mention:2;box:3;more:4"):
+        with pytest.raises(ValueError):
+            parse_affinity_id(s)
