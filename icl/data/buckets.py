@@ -97,6 +97,11 @@ class Bucketizer:
             them (resume support — no host-side replay of trained batches).
         """
         lengths = np.asarray(lengths)
+        if len(lengths) != len(ids):
+            # a silent mismatch would schedule only min(len) examples,
+            # violating the no-example-dropped invariant below
+            raise ValueError(f"lengths ({len(lengths)}) and ids "
+                             f"({len(ids)}) disagree")
         order = np.arange(len(ids))
         by_bucket: dict[int, list[int]] = {}
         for i in order:
@@ -124,7 +129,17 @@ class Bucketizer:
                 take = arr[rows]
                 axis = (pad_axis_keys or {}).get(name)
                 if axis is not None:
-                    take = np.take(take, np.arange(bucket_len), axis=axis)
+                    width = take.shape[axis]
+                    if bucket_len <= width:
+                        take = np.take(take, np.arange(bucket_len),
+                                       axis=axis)
+                    else:
+                        # overflow bucket rounded past the dataset's padded
+                        # width (bucket_of rounds outliers UP to 8s): pad
+                        # out instead of crashing the crop
+                        pad = [(0, 0)] * take.ndim
+                        pad[axis] = (0, bucket_len - width)
+                        take = np.pad(take, pad)
                 batch_arrays[name] = take
             valid = np.zeros(self.batch_size, dtype=bool)
             valid[:n] = True

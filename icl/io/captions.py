@@ -62,16 +62,6 @@ class Mention:
 #            ;caption_2:(\d+);mention_2:(\d+)$
 
 
-def _idx_ok(s: str) -> bool:
-    """ASCII-digits check (hot loops inline this; kept for pipeline.py)."""
-    return s.isdigit() and s.isascii()
-
-
-def _padded(s: str) -> bool:
-    """Zero-padded numeric field (hot loops inline this)."""
-    return len(s) > 1 and s[0] == "0"
-
-
 def parse_mention_id(example_id: str) -> tuple[str, int, int]:
     """``doc:<img>;caption:<ci>;mention:<mi>`` → (img, ci, mi)."""
     img, ci, mi, _ = parse_mention_id_padded(example_id)
@@ -132,14 +122,14 @@ def read_captions(path: str) -> dict[str, Caption]:
             if not line or line.startswith("#"):
                 continue
             key, _, toks = line.partition("\t")
-            img_id, _, cap_idx = key.rpartition("#")
-            try:
-                cap = Caption(img_id=img_id, cap_idx=int(cap_idx),
-                              tokens=toks.split())
-            except ValueError:
+            img_id, sep, cap_idx = key.rpartition("#")
+            if (not sep or not img_id
+                    or not (cap_idx.isdigit() and cap_idx.isascii())):
                 raise ValueError(
                     f"{path}:{ln}: bad caption key {key!r} "
-                    f"(want '<imgid>.jpg#<capIdx>')") from None
+                    f"(want '<imgid>.jpg#<capIdx>')")
+            cap = Caption(img_id=img_id, cap_idx=int(cap_idx),
+                          tokens=toks.split())
             out[cap.key] = cap
     return out
 
@@ -156,8 +146,13 @@ def read_mentions(path: str) -> list[Mention]:
             try:
                 img_id, ci, mi = parse_mention_id(fields[0])
                 first_s, _, last_s = fields[1].partition(",")
+                first, last = int(first_s), int(last_s)
+                if not 0 <= first <= last:
+                    raise ValueError(
+                        f"span must satisfy 0 <= first <= last, got "
+                        f"{first},{last}")
                 mention = Mention(img_id=img_id, cap_idx=ci, mention_idx=mi,
-                                  first=int(first_s), last=int(last_s),
+                                  first=first, last=last,
                                   text=fields[2] if len(fields) > 2 else "")
             except (IndexError, ValueError) as e:
                 raise ValueError(
@@ -171,11 +166,20 @@ def read_mentions(path: str) -> list[Mention]:
 def write_captions(path: str, captions: list[Caption]) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for c in captions:
+            if any("\t" in t or "\n" in t for t in c.tokens):
+                raise ValueError(
+                    f"caption {c.key}: tokens may not contain tab/newline")
             f.write(f"{c.key}\t{' '.join(c.tokens)}\n")
 
 
 def write_mentions(path: str, mentions: list[Mention]) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for m in mentions:
+            if "\t" in m.text or "\n" in m.text:
+                # the format is tab-separated, one record per line — embedded
+                # separators would silently truncate/split on read-back
+                raise ValueError(
+                    f"mention {m.mention_id}: text may not contain "
+                    f"tab/newline")
             text = f"\t{m.text}" if m.text else ""
             f.write(f"{m.mention_id}\t{m.first},{m.last}{text}\n")

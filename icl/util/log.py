@@ -3,7 +3,7 @@
 Reference parity: SURVEY.md §3.1 C11 — the reference's ``utils/Logger.py``
 exposed leveled console logging plus tic/toc progress ticks ("% complete
 every N seconds").  Rebuilt on stdlib logging (absl-compatible stream) with
-the same surface: ``info/debug/warning/error`` plus ``tic``/``toc``/``log_status``.
+the same surface: ``info/debug/warning/error`` plus ``tic``/``toc``.
 """
 
 from __future__ import annotations

@@ -75,3 +75,34 @@ def test_ordered_pair_export_never_truncated():
     # labels land unshuffled in file order
     np.testing.assert_array_equal(
         batch.arrays["pair_label"][0, :len(pairs)], im.pair_label)
+
+
+def test_overflow_bucket_pads_past_dataset_width():
+    """An outlier length whose bucket rounds past the dataset's padded
+    width must be padded out, not crash the crop (r3 review)."""
+    import numpy as np
+
+    from icl.data.buckets import Bucketizer, BucketSpec
+
+    bz = Bucketizer(BucketSpec((8, 16)), batch_size=2)
+    lengths = np.array([41, 5])
+    arrays = {"tok": np.ones((2, 41), np.int32)}
+    got = list(bz.batches(lengths, arrays, ids=["a", "b"],
+                          pad_axis_keys={"tok": 1}))
+    by_len = {bl: b for bl, b in got}
+    assert 48 in by_len                      # 41 → next multiple of 8
+    assert by_len[48].arrays["tok"].shape == (2, 48)
+    assert (by_len[48].arrays["tok"][:, 41:] == 0).all()   # zero-padded
+    assert by_len[8].arrays["tok"].shape == (2, 8)
+
+
+def test_bucketizer_rejects_length_id_mismatch():
+    import numpy as np
+    import pytest
+
+    from icl.data.buckets import Bucketizer, BucketSpec
+
+    bz = Bucketizer(BucketSpec((8,)), batch_size=2)
+    with pytest.raises(ValueError, match="disagree"):
+        list(bz.batches(np.array([3, 4, 5]), {"x": np.ones((3, 8))},
+                        ids=["a", "b"]))

@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--dtype", default="f32")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--out", default="/tmp/icl_ptrace")
     args = ap.parse_args()
 
@@ -37,6 +37,7 @@ def main():
     table = jnp.asarray(
         rng.normal(size=(bench.VOCAB, bench.DIM)).astype(np.float32) * 0.1)
     cd = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # matches bench/CLI: table ships in compute dtype
     stacked = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[ge._synth_relation_batch(np.random.default_rng(s), I=args.images,

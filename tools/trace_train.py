@@ -30,10 +30,15 @@ def main():
                     choices=["relation", "affinity"])
     ap.add_argument("--images", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--out", default="/tmp/icl_trace")
     args = ap.parse_args()
 
+    import jax as _jax
+    if args.dtype == "f32":
+        # match bench.py's production precision: default-precision f32
+        # GEMMs are different (bf16-pass) kernels and mis-attribute
+        _jax.config.update("jax_default_matmul_precision", "high")
     import bench
     import __graft_entry__ as ge
     from icl.train import create_train_state
