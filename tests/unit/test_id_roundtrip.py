@@ -131,3 +131,62 @@ def test_manual_parsers_pin_the_grammar():
               "doc:a;caption:1;mention:2;box:3;more:4"):
         with pytest.raises(ValueError):
             parse_affinity_id(s)
+
+
+def test_manual_parsers_match_reference_regexes_fuzzed():
+    """Randomized crosscheck: the hand-rolled parsers accept/reject and
+    extract exactly like the documented reference regexes (ASCII-digit
+    variant) on a large sample of near-miss strings."""
+    import random
+    import re
+
+    from icl.data.pipeline import parse_affinity_id
+    from icl.io.captions import parse_mention_id, parse_pair_id
+
+    mention_re = re.compile(
+        r"doc:(?P<doc>[^;]+);caption:(?P<c>[0-9]+);mention:(?P<m>[0-9]+)$",
+        re.ASCII)
+    pair_re = re.compile(
+        r"doc:(?P<doc>[^;]+);caption_1:(?P<c1>[0-9]+);mention_1:(?P<m1>[0-9]+)"
+        r";caption_2:(?P<c2>[0-9]+);mention_2:(?P<m2>[0-9]+)$", re.ASCII)
+    aff_re = re.compile(
+        r"doc:(?P<doc>[^;]+);caption:(?P<c>[0-9]+);mention:(?P<m>[0-9]+)"
+        r";box:(?P<b>[0-9]+)$", re.ASCII)
+    # re's $ matches before a trailing \n — the manual parsers are stricter
+    def fullmatch(rx, s):
+        m = rx.match(s)
+        return m if (m and not s.endswith("\n")) else None
+
+    rng = random.Random(0)
+    pieces = ["doc:", "caption:", "mention:", "box:", "caption_1:",
+              "mention_1:", "caption_2:", "mention_2:", ";", "#", "0", "7",
+              "07", "img.jpg", "", "x", "\n", " ", ":", "12"]
+    cases = []
+    for _ in range(4000):
+        cases.append("".join(rng.choice(pieces)
+                             for _ in range(rng.randint(1, 10))))
+    # seed with valid forms and close mutations
+    for d in ("a.jpg", "b", "x y.jpg"):
+        cases.append(f"doc:{d};caption:3;mention:0")
+        cases.append(f"doc:{d};caption_1:1;mention_1:2"
+                     f";caption_2:3;mention_2:4")
+        cases.append(f"doc:{d};caption:1;mention:2;box:07")
+
+    for s, rx, fn, groups in (
+            [(c, mention_re, parse_mention_id, ("doc", "c", "m"))
+             for c in cases]
+            + [(c, pair_re, parse_pair_id, ("doc", "c1", "m1", "c2", "m2"))
+               for c in cases]
+            + [(c, aff_re, parse_affinity_id, ("doc", "c", "m", "b"))
+               for c in cases]):
+        m = fullmatch(rx, s)
+        try:
+            got = fn(s)
+        except ValueError:
+            got = None
+        if m is None:
+            assert got is None, (s, got)
+        else:
+            want = (m.group("doc"),) + tuple(
+                int(m.group(g)) for g in groups[1:])
+            assert got == want, (s, got, want)
