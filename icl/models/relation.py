@@ -29,6 +29,35 @@ from icl.models.rnn import BiLSTM
 __all__ = ["RelationModel", "RELATION_CLASSES"]
 
 
+def _extract_pairs(grid: jnp.ndarray, pair_ij: jnp.ndarray) -> jnp.ndarray:
+    """[I,M,M,O] pair-grid logits + [I,P,2] indices → [I,P,O] pair logits.
+
+    A one-hot MXU contraction instead of a gather: the 3-index gather of
+    O=4-wide rows runs at 4/128-lane utilization and traced 99 µs/call at
+    bench shapes (I=128, M=16) — 5.7% of the whole predict step — while
+    ``Σ_m onehot[p,m]·grid[m]`` is an [I,P,M²]×[I,M²,O] batched GEMM XLA
+    fuses the one-hot generation into (nothing materializes in HBM):
+    measured 12.4 µs, 8× faster, r3 ledger.
+
+    Precision is pinned to 'highest' REGARDLESS of the session matmul
+    policy: an f32 splits exactly into the 3-pass bf16 chunks and the
+    one-hot factors 0.0/1.0 are exact in bf16, so every product and the
+    single nonzero accumulation are exact — the contraction reproduces the
+    gather BITWISE (measured max|d| = 0.0; under 'high' it drifts ~1e-5,
+    at the parity gate).  Semantics match the gather for every in-range
+    index incl. duplicated padded pairs; the one caveat is a non-finite
+    grid cell, whose 0·inf products poison all P rows of that image
+    instead of one pair (diverged-checkpoint territory — train metrics
+    surface non-finite losses long before predict).
+    """
+    I, M, _, O = grid.shape
+    flat_idx = pair_ij[:, :, 0] * M + pair_ij[:, :, 1]            # [I,P]
+    onehot = (flat_idx[:, :, None]
+              == jnp.arange(M * M, dtype=jnp.int32)).astype(grid.dtype)
+    return jnp.einsum("ipm,imo->ipo", onehot, grid.reshape(I, M * M, O),
+                      precision="highest")
+
+
 def gather_mention_reps(enc: jnp.ndarray, m_cap: jnp.ndarray,
                         m_first: jnp.ndarray, m_last: jnp.ndarray) -> jnp.ndarray:
     """[I,C,L,2H] encoded captions + [I,M] span tables → [I,M,4H] mention reps.
@@ -175,8 +204,7 @@ class RelationModel(nn.Module):
                         float(self.dropout), exact)
                 grid = grid_head_train(proj_i, proj_j, b1, W2, b2,
                                        seeds, float(self.dropout), exact)
-            ii = jnp.arange(I, dtype=jnp.int32)[:, None]
-            return grid[ii, pair_ij[:, :, 0], pair_ij[:, :, 1]]   # [I,P,O]
+            return _extract_pairs(grid, pair_ij)                  # [I,P,O]
 
         if loss_grid is not None:
             # XLA oracle for the in-kernel grid loss (materializes the
