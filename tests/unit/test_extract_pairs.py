@@ -55,6 +55,25 @@ def test_extract_pairs_padded_duplicate_indices():
     np.testing.assert_array_equal(got, want)
 
 
+def test_extract_pairs_randomized_shapes_bitwise():
+    """Fuzz shapes and indices: any in-range [I,P,2] index set (dupes,
+    out-of-order, self-pairs) must reproduce the gather bitwise."""
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        I = int(rng.integers(1, 5))
+        M = int(rng.integers(2, 23))
+        P = int(rng.integers(1, 40))
+        O = int(rng.integers(2, 7))
+        grid = jnp.asarray(
+            (rng.normal(size=(I, M, M, O)) * 10 ** rng.integers(-3, 4)
+             ).astype(np.float32))
+        pair_ij = jnp.asarray(
+            rng.integers(0, M, size=(I, P, 2)).astype(np.int32))
+        got = np.asarray(_extract_pairs(grid, pair_ij))
+        want = np.asarray(_gather_oracle(grid, pair_ij))
+        np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")
+
+
 def test_extract_pairs_gradient_matches_gather():
     """The fused TRAIN pair-form path differentiates through the
     extraction: the one-hot transpose must scatter-add cotangents exactly
