@@ -85,7 +85,11 @@ class AffinityModel(nn.Module):
             # dropout via the in-kernel Mosaic PRNG (per-image seeds → DP
             # reproduces single-device masks) and recomputes on backward
             if deterministic:
-                grid = fused_grid_head(p_proj, b_proj, bp, W2, b2)
+                # bf16 throughput mode: one-pass bf16 kernel dot (f32 mode
+                # keeps the pinned-'highest' parity-grade dot)
+                grid = fused_grid_head(
+                    p_proj, b_proj, bp, W2, b2,
+                    fast_dot=self.compute_dtype == jnp.bfloat16)
                 if loss_grid is not None:
                     from icl.ops.grid_head_train import grid_ce_sums
                     labels, weights = loss_grid

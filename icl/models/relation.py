@@ -180,7 +180,12 @@ class RelationModel(nn.Module):
 
         if self.fused:
             if deterministic:
-                grid = fused_grid_head(proj_i, proj_j, b1, W2, b2)
+                # bf16 throughput mode: one-pass bf16 kernel dot (the same
+                # policy the train kernel follows at 'default' precision);
+                # f32 mode keeps the pinned-'highest' parity-grade dot
+                grid = fused_grid_head(
+                    proj_i, proj_j, b1, W2, b2,
+                    fast_dot=self.compute_dtype == jnp.bfloat16)
                 if loss_grid is not None:
                     labels, weights = loss_grid
                     return grid_ce_sums(grid, labels,

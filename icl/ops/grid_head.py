@@ -44,21 +44,27 @@ def grid_head_reference(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     return jnp.einsum("gabk,ko->gabo", h, W2) + b2
 
 
-def _kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref):
+def _kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref, *, fast_dot):
     # blocks: x [1,Ta,K] (b1 pre-folded by the wrapper) y [1,Tb,K]
     #         w2 [K,O] b2 [O] out [1,Ta,Tb,O]
     x = x_ref[0]                                  # [Ta, K]
     y = y_ref[0]                                  # [Tb, K]
     Ta, K = x.shape
     Tb = y.shape[0]
-    h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
-    out = jnp.dot(h.reshape(Ta * Tb, K), w2_ref[:],
-                  preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0).reshape(Ta * Tb, K)
+    if fast_dot:                 # bf16 throughput mode: one-pass MXU dot
+        h, w2 = h.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16)
+        # pin DEFAULT: an inherited session 'high' reaches Mosaic as an
+        # unsupported dot precision (it only accepts DEFAULT/HIGHEST)
+        out = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+    else:
+        out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = (out + b2_ref[:]).reshape(Ta, Tb, -1)
 
 
-def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref, *, tg):
+def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref, *, tg, fast_dot):
     """Single-tile-per-image variant emitting TRANSPOSED [O, A·B] logits.
 
     Two wins over the tiled kernel (mirrors grid_head_train's flat loss
@@ -78,18 +84,33 @@ def _flat_kernel(x_ref, y_ref, w2_ref, b2_ref, out_ref, *, tg):
         Ta, K = x.shape
         Tb = y.shape[0]
         h = jnp.maximum(x[:, None, :] + y[None, :, :], 0.0)
+        h = h.reshape(Ta * Tb, K)
+        w2 = w2_ref[:]
+        if fast_dot:             # bf16 throughput mode: one-pass MXU dot
+            # the elementwise add/relu stays f32 (negative result #3:
+            # packed-bf16 cmpf won't lower); only the dot operands drop to
+            # bf16 — the same policy the TRAIN kernel's dots follow at
+            # 'default' session precision
+            h, w2 = h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
+            # pin DEFAULT: an inherited session 'high' reaches Mosaic
+            # as an unsupported dot precision
+            prec = jax.lax.Precision.DEFAULT
+        else:
+            prec = jax.lax.Precision.HIGHEST
         out_t = jax.lax.dot_general(              # W2ᵀ · hdᵀ : [O, N]
-            w2_ref[:], h.reshape(Ta * Tb, K),
+            w2, h,
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)
         out_ref[t] = out_t + b2_ref[:][:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("block_a", "block_b"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_a", "block_b", "fast_dot"))
 def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
                      W2: jnp.ndarray, b2: jnp.ndarray,
-                     block_a: int = 8, block_b: int = 128) -> jnp.ndarray:
+                     block_a: int = 8, block_b: int = 128,
+                     fast_dot: bool = False) -> jnp.ndarray:
     """Pallas TPU kernel; same contract as :func:`grid_head_reference`.
 
     Tile sizes keep the on-chip [Ta, Tb, K] activation ≤ ~4 MB at K=1024
@@ -124,7 +145,7 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
                 tg = cand
                 break
         out_t = pl.pallas_call(
-            functools.partial(_flat_kernel, tg=tg),
+            functools.partial(_flat_kernel, tg=tg, fast_dot=fast_dot),
             out_shape=jax.ShapeDtypeStruct((G, O, N), jnp.float32),
             grid=(G // tg,),
             in_specs=[
@@ -150,7 +171,7 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
         return out[:, :A, :B, :]
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, fast_dot=fast_dot),
         out_shape=jax.ShapeDtypeStruct((G, Ap, Bp, O), jnp.float32),
         grid=(G, Ap // Ta, Bp // Tb),
         in_specs=[
@@ -175,12 +196,20 @@ def grid_head_pallas(X: jnp.ndarray, Y: jnp.ndarray, b1: jnp.ndarray,
     return out[:, :A, :B, :]
 
 
-def fused_grid_head(X, Y, b1, W2, b2, use_pallas: bool | None = None):
-    """Dispatch: Pallas on TPU, XLA oracle elsewhere (or when forced)."""
+def fused_grid_head(X, Y, b1, W2, b2, use_pallas: bool | None = None,
+                    fast_dot: bool = False):
+    """Dispatch: Pallas on TPU, XLA oracle elsewhere (or when forced).
+
+    ``fast_dot`` (bf16 throughput mode only): the kernel head dot runs
+    one-pass bf16 instead of pinned 'highest' — the same policy the
+    TRAIN kernel follows at 'default' session precision.  The XLA
+    oracle ignores it (it is the f32 correctness reference; bf16 mode
+    is documented as non-parity-grade, BENCHMARKS.md).
+    """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
-        return grid_head_pallas(X, Y, b1, W2, b2)
+        return grid_head_pallas(X, Y, b1, W2, b2, fast_dot=fast_dot)
     return grid_head_reference(X, Y, b1, W2, b2)
 
 

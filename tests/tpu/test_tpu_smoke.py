@@ -43,6 +43,34 @@ def test_grid_head_kernel_on_tpu():
                                    err_msg=f"{(G, A, B, K, O)}")
 
 
+def test_grid_head_fast_dot_on_tpu():
+    """bf16-throughput-mode kernel dot (fast_dot=True): one-pass bf16 MXU
+    against the f32 oracle within bf16 product tolerance, on both the flat
+    and tiled kernel paths.  f32 mode (fast_dot=False) is untouched and
+    keeps its own 1e-4 gate in test_grid_head_kernel_on_tpu."""
+    _require_tpu()
+    from icl.ops.grid_head import grid_head_pallas, grid_head_reference
+    rng = np.random.default_rng(3)
+    for G, A, B, K, O in [(16, 16, 16, 800, 4),     # flat TG=8 (production)
+                          (2, 40, 136, 256, 4)]:    # tiled path
+        X = jnp.asarray(rng.normal(size=(G, A, K)).astype(np.float32))
+        Y = jnp.asarray(rng.normal(size=(G, B, K)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
+        W2 = jnp.asarray(rng.normal(size=(K, O)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+        out = np.asarray(grid_head_pallas(X, Y, b1, W2, b2, fast_dot=True))
+        with _highest_precision():
+            ref = np.asarray(grid_head_reference(X, Y, b1, W2, b2))
+        # logits are K~800-deep sums of O(1) products; one-pass bf16
+        # operand rounding gives ~2^-9 error relative to the LOGIT SCALE
+        # (near-zero logits see it as a large relative error — bound the
+        # absolute error against the output scale instead)
+        scale = np.abs(ref).max()
+        err = np.abs(out - ref).max()
+        assert err <= 0.01 * scale, (
+            f"{(G, A, B, K, O)}: max err {err:.4f} vs scale {scale:.1f}")
+
+
 def test_affinity_rank_kernel_on_tpu():
     _require_tpu()
     from icl.ops.affinity_rank import (affinity_rank_pallas,
