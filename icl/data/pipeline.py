@@ -128,6 +128,57 @@ def load_mention_dataset(
 
 
 # ---------------------------------------------------------------------------
+# Native fast path: group feats rows by image without Python id strings
+# ---------------------------------------------------------------------------
+
+def _fast_grouped_rows(path: str, kind: str):
+    """C++-parsed (img_id, fields i32[P,k], labels i32[P], overrides) groups
+    in sorted-img order, rows in file order within each image — exactly the
+    grouping the pure-Python loaders build row-by-row (the id parse was
+    ~60% of a 50k-image load wall).  None → caller takes the Python path
+    (native unavailable, or any id/label deviates: grammar, int32 range,
+    non-finite labels — the slow path's exact error behavior applies)."""
+    try:
+        from icl.native import feats as _nat
+    except ImportError:
+        return None
+    fast = _nat.parse_feats_ids(path, kind)
+    if fast is None:
+        return None
+    flabels, fields, doc_idx, docs, row_overrides = fast
+    if len(flabels) == 0:
+        return []
+    if not np.isfinite(flabels).all():
+        return None   # int(nan/inf) raises in the Python path — take it
+    # rows sorted by doc STRING (the loaders' sorted(by_img) order) with a
+    # stable sort, so file order is preserved within each image
+    order_docs = sorted(range(len(docs)), key=docs.__getitem__)
+    rank = np.empty(len(docs), np.int64)
+    rank[order_docs] = np.arange(len(docs))
+    row_rank = rank[doc_idx]
+    order = np.argsort(row_rank, kind="stable")
+    sorted_rank = row_rank[order]
+    bounds = np.flatnonzero(np.diff(sorted_rank)) + 1
+    slices = np.split(order, bounds)
+    labels_i = flabels.astype(np.int32)   # truncation == Python int(lbl)
+    over_by_rank: dict[int, dict[int, str]] = {}
+    if row_overrides:
+        # slices hold ORIGINAL row indices (ascending within each group,
+        # since the stable sort keeps file order): index groups by the
+        # rank of their first ROW, i.e. row_rank[sl[0]] — NOT sorted_rank,
+        # which is positional (caught by test_native_ids out-of-order case)
+        slice_of_rank = {int(row_rank[s[0]]): s for s in slices}
+        for g, eid in row_overrides.items():
+            r = int(row_rank[g])
+            sl = slice_of_rank[r]
+            over_by_rank.setdefault(r, {})[int(np.searchsorted(sl, g))] = eid
+    return [(docs[order_docs[int(row_rank[sl[0]])]],
+             fields[sl], labels_i[sl],
+             over_by_rank.get(int(row_rank[sl[0]])))
+            for sl in slices]
+
+
+# ---------------------------------------------------------------------------
 # Relation dataset (image-centric)
 # ---------------------------------------------------------------------------
 
@@ -175,27 +226,12 @@ class RelationDataset:
         return sum(len(im.pair_label) for im in self.images)
 
 
-def load_relation_dataset(
-    data_dir: str, split: str, emb: EmbeddingStore,
-) -> RelationDataset:
-    """Build image-centric tables from <split>.relation.feats + captions.
-
-    Scale posture (VERDICT r2 missing#2): the `.feats` read is labels-only
-    (no sparse-column materialization), per-image pair rows accumulate into
-    compact ``array('i')`` buffers (20 bytes/pair instead of a tuple-of-ints
-    per pair), and pair-id strings are never stored — ``RelationImage.
-    pair_ids`` derives them on demand.  Bounded-memory behavior is asserted
-    by tests/unit/test_scale_loading.py."""
-    ids, flabels = read_feats_labels(
-        split_path(data_dir, split, "relation.feats"))
-    captions = read_captions(split_path(data_dir, split, "captions.txt"))
-    all_mentions = read_mentions(split_path(data_dir, split, "mentions.txt"))
-
-    mentions_by_img: dict[str, list[Mention]] = {}
-    for m in all_mentions:
-        mentions_by_img.setdefault(m.img_id, []).append(m)
-
-    # gold (ci, mi, cj, mj, label) rows per image, int-packed
+def _python_grouped_pair_rows(path: str):
+    """Pure-Python grouping (the pre-native structure): gold
+    (ci, mi, cj, mj, label) rows accumulate per image into compact
+    ``array('i')`` buffers (20 bytes/pair instead of a tuple-of-ints per
+    pair — the MSCOCO-scale memory posture, VERDICT r2 missing#2)."""
+    ids, flabels = read_feats_labels(path)
     labels_by_img: dict[str, array] = {}
     overrides_by_img: dict[str, dict[int, str]] = {}
     for eid, lbl in zip(ids, flabels):
@@ -207,9 +243,65 @@ def load_relation_dataset(
             overrides_by_img.setdefault(img, {})[len(rows) // 5] = eid
         rows.extend((ci, mi, cj, mj, int(lbl)))
     del ids, flabels
+    out = []
+    for img_id in sorted(labels_by_img):
+        rows = np.frombuffer(labels_by_img[img_id], dtype=np.int32
+                             ).reshape(-1, 5)
+        out.append((img_id, np.ascontiguousarray(rows[:, :4]),
+                    np.ascontiguousarray(rows[:, 4]),
+                    overrides_by_img.get(img_id)))
+    return out
+
+
+def _rows_for_mentions(ms: list[Mention], pair_key: np.ndarray) -> np.ndarray:
+    """Map pair_key's (ci, mi)/(cj, mj) columns to mention rows of ``ms``
+    (which is sorted by (cap_idx, mention_idx)) — int32[P, 2].
+
+    Vectorized over the image's pairs via searchsorted on the encoded
+    (cap << 32 | mention) keys; a pair referencing a nonexistent mention
+    raises KeyError((ci, mi)) like the dict lookup it replaces."""
+    mkeys = np.fromiter(((m.cap_idx << 32) | m.mention_idx for m in ms),
+                        np.int64, len(ms))
+    pk = pair_key.astype(np.int64)
+    pair_ij = np.empty((len(pk), 2), np.int32)
+    for col in (0, 1):
+        enc = (pk[:, 2 * col] << 32) | pk[:, 2 * col + 1]
+        pos = np.searchsorted(mkeys, enc)
+        pos_c = np.minimum(pos, len(mkeys) - 1)
+        ok = (pos < len(mkeys)) & (mkeys[pos_c] == enc)
+        if not ok.all():
+            b = int(np.flatnonzero(~ok)[0])
+            raise KeyError((int(pk[b, 2 * col]), int(pk[b, 2 * col + 1])))
+        pair_ij[:, col] = pos
+    return pair_ij
+
+
+def load_relation_dataset(
+    data_dir: str, split: str, emb: EmbeddingStore,
+) -> RelationDataset:
+    """Build image-centric tables from <split>.relation.feats + captions.
+
+    Scale posture (VERDICT r2 missing#2): the `.feats` read is labels-only
+    (no sparse-column materialization), pair rows are grouped per image as
+    int32 tables (20 bytes/pair), and pair-id strings are never stored —
+    ``RelationImage.pair_ids`` derives them on demand.  When the native
+    library is available the parse+group runs entirely in C++/numpy
+    (``_fast_grouped_rows``); dataset equality between the two paths is
+    tested (tests/unit/test_native_ids.py), bounded-memory behavior by
+    tests/unit/test_scale_loading.py."""
+    feats_path = split_path(data_dir, split, "relation.feats")
+    grouped = _fast_grouped_rows(feats_path, "pair")
+    if grouped is None:
+        grouped = _python_grouped_pair_rows(feats_path)
+    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    all_mentions = read_mentions(split_path(data_dir, split, "mentions.txt"))
+
+    mentions_by_img: dict[str, list[Mention]] = {}
+    for m in all_mentions:
+        mentions_by_img.setdefault(m.img_id, []).append(m)
 
     images: list[RelationImage] = []
-    for img_id in sorted(labels_by_img):
+    for img_id, pair_key, pair_label, overrides in grouped:
         ms = sorted(mentions_by_img.get(img_id, []),
                     key=lambda m: (m.cap_idx, m.mention_idx))
         if not ms:
@@ -222,24 +314,17 @@ def load_relation_dataset(
         tok_len = np.zeros(len(cap_keys), dtype=np.int32)
         for k, row in cap_row.items():
             tokens[row], tok_len[row] = emb.encode_tokens(captions[k].tokens, L)
-        mrow = {(m.cap_idx, m.mention_idx): i for i, m in enumerate(ms)}
         m_cap = np.array([cap_row[m.caption_key] for m in ms], dtype=np.int32)
         m_first = np.array([min(m.first, int(tok_len[cap_row[m.caption_key]]) - 1)
                             for m in ms], dtype=np.int32)
         m_last = np.array([min(m.last, int(tok_len[cap_row[m.caption_key]]) - 1)
                            for m in ms], dtype=np.int32)
-        rows = np.frombuffer(labels_by_img[img_id], dtype=np.int32
-                             ).reshape(-1, 5)
-        pair_key = np.ascontiguousarray(rows[:, :4])
-        pair_ij = np.array([[mrow[(ci, mi)], mrow[(cj, mj)]]
-                            for ci, mi, cj, mj in pair_key.tolist()],
-                           dtype=np.int32).reshape(-1, 2)
-        pair_label = np.ascontiguousarray(rows[:, 4])
+        pair_ij = _rows_for_mentions(ms, pair_key)
         images.append(RelationImage(
             img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
             m_first=m_first, m_last=m_last, pair_ij=pair_ij,
             pair_label=pair_label, pair_key=pair_key,
-            pair_id_overrides=overrides_by_img.get(img_id)))
+            pair_id_overrides=overrides))
     return RelationDataset(images=images)
 
 
@@ -280,13 +365,41 @@ class AffinityDataset:
         return sum(int(im.grid_valid.sum()) for im in self.images)
 
 
+def _python_grouped_affinity_rows(path: str):
+    """Pure-Python grouping for affinity cells — same structure as
+    ``_fast_grouped_rows(path, "affinity")`` (overrides keyed by file-order
+    position within the image)."""
+    ids, flabels = read_feats_labels(path)
+    cells: dict[str, array] = {}
+    overrides_by_img: dict[str, dict[int, str]] = {}
+    for eid, lbl in zip(ids, flabels):
+        img, ci, mi, bi, padded = parse_affinity_id_padded(eid)
+        rows = cells.get(img)
+        if rows is None:
+            rows = cells.setdefault(img, array("i"))
+        if padded:
+            overrides_by_img.setdefault(img, {})[len(rows) // 4] = eid
+        rows.extend((ci, mi, bi, int(lbl)))
+    del ids, flabels
+    out = []
+    for img_id in sorted(cells):
+        rows = np.frombuffer(cells[img_id], dtype=np.int32).reshape(-1, 4)
+        out.append((img_id, np.ascontiguousarray(rows[:, :3]),
+                    np.ascontiguousarray(rows[:, 3]),
+                    overrides_by_img.get(img_id)))
+    return out
+
+
 def load_affinity_dataset(
     data_dir: str, split: str, emb: EmbeddingStore, max_phrase_len: int = 16,
 ) -> AffinityDataset:
     """Labels-only `.feats` read + int-packed per-image cell buffers +
-    mmap'd lazy box views — same scale posture as load_relation_dataset."""
-    ids, flabels = read_feats_labels(
-        split_path(data_dir, split, "affinity.feats"))
+    mmap'd lazy box views — same scale posture as load_relation_dataset
+    (incl. the C++ parse+group fast path, tests/unit/test_native_ids.py)."""
+    feats_path = split_path(data_dir, split, "affinity.feats")
+    grouped = _fast_grouped_rows(feats_path, "affinity")
+    if grouped is None:
+        grouped = _python_grouped_affinity_rows(feats_path)
     captions = read_captions(split_path(data_dir, split, "captions.txt"))
     all_mentions = {m.mention_id: m for m in
                     read_mentions(split_path(data_dir, split, "mentions.txt"))}
@@ -296,32 +409,33 @@ def load_affinity_dataset(
         split_path(data_dir, split, "boxes.npz"), mmap=True)
     boxes_by_img = group_boxes_by_image(box_ids, box_arr, lazy=True)
 
-    cells: dict[str, array] = {}
-    cell_overrides: dict[str, dict[tuple[int, int, int], str]] = {}
-    for eid, lbl in zip(ids, flabels):
-        img, ci, mi, bi, padded = parse_affinity_id_padded(eid)
-        rows = cells.get(img)
-        if rows is None:
-            rows = cells.setdefault(img, array("i"))
-        if padded:
-            cell_overrides.setdefault(img, {})[(ci, mi, bi)] = eid
-        rows.extend((ci, mi, bi, int(lbl)))
-    del ids, flabels
-
     images: list[AffinityImage] = []
     box_dim = box_arr.shape[1] if box_arr.size else 4096
-    for img_id in sorted(cells):
-        img_cells = np.frombuffer(cells[img_id], dtype=np.int32
-                                  ).reshape(-1, 4).tolist()
+    for img_id, cell_key, cell_label, pos_overrides in grouped:
         box_order, bfeats = boxes_by_img[img_id]
-        box_col = {b: c for c, b in enumerate(box_order)}
-        mention_keys = sorted({(ci, mi) for ci, mi, _, _ in img_cells})
-        mrow = {k: r for r, k in enumerate(mention_keys)}
+        # unique (ci, mi) in ascending order == sorted(set(...)) of tuples
+        enc_m = (cell_key[:, 0].astype(np.int64) << 32) | cell_key[:, 1]
+        uniq_m = np.unique(enc_m)
+        mention_keys = [(int(e >> 32), int(e & 0xFFFFFFFF)) for e in uniq_m]
         M, B = len(mention_keys), len(box_order)
+        rows_r = np.searchsorted(uniq_m, enc_m)
+        # box index -> grid column (KeyError parity with the dict lookup)
+        bo = np.asarray(box_order, dtype=np.int64)
+        if len(bo) == 0:
+            raise KeyError(int(cell_key[0, 2]))
+        sb_order = np.argsort(bo, kind="stable")
+        sb = bo[sb_order]
+        pos = np.searchsorted(sb, cell_key[:, 2])
+        pos_c = np.minimum(pos, len(sb) - 1)
+        ok = (pos < len(sb)) & (sb[pos_c] == cell_key[:, 2])
+        if not ok.all():
+            b = int(np.flatnonzero(~ok)[0])
+            raise KeyError(int(cell_key[b, 2]))
+        cols = sb_order[pos_c]
         phrase_tokens = np.zeros((M, max_phrase_len), dtype=np.int32)
         phrase_len = np.zeros(M, dtype=np.int32)
         mention_ids = []
-        for (ci, mi), r in mrow.items():
+        for r, (ci, mi) in enumerate(mention_keys):
             mid = f"doc:{img_id};caption:{ci};mention:{mi}"
             m = all_mentions[mid]
             toks = captions[m.caption_key].tokens[m.first:m.last + 1]
@@ -329,13 +443,22 @@ def load_affinity_dataset(
             mention_ids.append(mid)
         grid_label = np.zeros((M, B), dtype=np.int32)
         grid_valid = np.zeros((M, B), dtype=bool)
-        for ci, mi, bi, lbl in img_cells:
-            r, c = mrow[(ci, mi)], box_col[bi]
-            grid_label[r, c] = lbl
-            grid_valid[r, c] = True
+        # duplicate cells keep the LAST file-order occurrence, matching the
+        # row-by-row fill this replaces (unique on the reversed linear
+        # index keeps each cell's final write)
+        lin = rows_r.astype(np.int64) * B + cols
+        uniq_lin, first_rev = np.unique(lin[::-1], return_index=True)
+        sel = len(lin) - 1 - first_rev
+        grid_label.flat[uniq_lin] = cell_label[sel]
+        grid_valid.flat[uniq_lin] = True
+        cell_over = None
+        if pos_overrides:
+            cell_over = {(int(cell_key[p, 0]), int(cell_key[p, 1]),
+                          int(cell_key[p, 2])): eid
+                         for p, eid in pos_overrides.items()}
         images.append(AffinityImage(
             img_id=img_id, phrase_tokens=phrase_tokens, phrase_len=phrase_len,
             mention_ids=mention_ids, box_feats=bfeats, box_idx=box_order,
             grid_label=grid_label, grid_valid=grid_valid,
-            cell_id_overrides=cell_overrides.get(img_id)))
+            cell_id_overrides=cell_over))
     return AffinityDataset(images=images, box_dim=box_dim)

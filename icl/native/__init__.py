@@ -72,8 +72,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.featsl_fill.restype = None
+    lib.featsl_fill_labels.restype = None
     lib.featsl_free.restype = None
     lib.featsl_free.argtypes = [ctypes.c_void_p]
+    lib.featsl_parse_ids.restype = ctypes.c_void_p
+    lib.featsl_parse_ids.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for fn in ("idt_bad_row", "idt_num_docs", "idt_docs_size",
+               "idt_num_padded", "idt_padded_ids_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.idt_fill.restype = None
+    lib.idt_free.restype = None
+    lib.idt_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
     lib.w2v_load.restype = ctypes.c_void_p
     lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

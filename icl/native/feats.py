@@ -98,6 +98,70 @@ def parse_feats_labels(path: str):
     return ids, labels[:n]
 
 
+_ID_KINDS = {"mention": (0, 2), "pair": (1, 4), "affinity": (2, 3)}
+
+
+def parse_feats_ids(path: str, kind: str):
+    """Combined labels + example-id table parse (no Python id strings).
+
+    Parses a `.feats` file and every example id under the §6.1 ``kind``
+    grammar (``mention``/``pair``/``affinity``) entirely in C++, returning
+    ``(labels f64[n], fields i32[n,k], doc_idx i32[n], docs list[str],
+    overrides dict[row -> exact id str])`` — ``docs`` in first-appearance
+    order, ``overrides`` holding the verbatim ids of zero-padded rows.
+
+    Returns None when the native library is unavailable OR any id deviates
+    from the grammar (including int32-overflowing fields and missing id
+    comments): callers must then take the pure-Python path, which
+    reproduces the exact per-row error/skip behavior.  Dataset-level
+    equality with that path is tested (tests/unit/test_native_ids.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    knum, k = _ID_KINDS[kind]
+    handle = lib.feats_parse_labels(path.encode())
+    if not handle:
+        raise FileNotFoundError(path)
+    table = None
+    try:
+        n = int(lib.featsl_num(handle))
+        table = lib.featsl_parse_ids(ctypes.c_void_p(handle),
+                                     ctypes.c_int32(knum))
+        if int(lib.idt_bad_row(ctypes.c_void_p(table))) >= 0:
+            return None
+        _warn_skipped(path, int(lib.featsl_num_skipped(handle)))
+        labels = np.empty(max(n, 1), np.float64)
+        lib.featsl_fill_labels(
+            ctypes.c_void_p(handle),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        ndocs = int(lib.idt_num_docs(ctypes.c_void_p(table)))
+        docs_size = int(lib.idt_docs_size(ctypes.c_void_p(table)))
+        npad = int(lib.idt_num_padded(ctypes.c_void_p(table)))
+        pad_size = int(lib.idt_padded_ids_size(ctypes.c_void_p(table)))
+        fields = np.empty((max(n, 1), k), np.int32)
+        doc_idx = np.empty(max(n, 1), np.int32)
+        padded_rows = np.empty(max(npad, 1), np.int64)
+        padded_buf = ctypes.create_string_buffer(max(pad_size, 1))
+        docs_buf = ctypes.create_string_buffer(max(docs_size, 1))
+        lib.idt_fill(
+            ctypes.c_void_p(table),
+            fields.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            doc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            padded_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            padded_buf, docs_buf)
+    finally:
+        if table:
+            lib.idt_free(ctypes.c_void_p(table))
+        lib.featsl_free(ctypes.c_void_p(handle))
+    docs = (docs_buf.raw[:docs_size].decode("utf-8").split("\0")[:ndocs]
+            if ndocs else [])
+    overrides: dict[int, str] = {}
+    if npad:
+        pad_ids = padded_buf.raw[:pad_size].decode("utf-8").split("\0")
+        overrides = {int(r): s for r, s in zip(padded_rows[:npad], pad_ids)}
+    return labels[:n], fields[:n], doc_idx[:n], docs, overrides
+
+
 def write_scores_native(path: str, ids: list[str], probs: np.ndarray) -> bool:
     """C++ fast path for .scores; returns False if native is unavailable."""
     lib = _load()

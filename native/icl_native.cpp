@@ -261,6 +261,11 @@ void featsl_fill(void* h, double* labels, char* id_buffer,
 
 void featsl_free(void* h) { delete (FeatsLabels*)h; }
 
+void featsl_fill_labels(void* h, double* labels) {
+  auto* d = (FeatsLabels*)h;
+  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
+}
+
 // Write a .scores file (§6.2): one "<id>,<p0>,...,<pC-1>\n" per row with
 // 6-decimal fixed formatting.  Returns 0 on success.
 int scores_write(const char* path, const char* const* ids, const double* probs,
@@ -284,6 +289,181 @@ int scores_write(const char* path, const char* const* ids, const double* probs,
   if (fclose(f) != 0) return -3;  // buffered flush can fail (disk full)
   return 0;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Example-id table parser (SURVEY §6.1 id grammars).  Operating on a
+// FeatsLabels handle, parses every example id into an int32 field table +
+// a unique-doc string table, so MSCOCO-scale dataset loads never
+// materialize per-row Python id strings (the id parse was ~60% of a 50k-
+// image load wall — icl/data/pipeline.py).  STRICT PARITY CONTRACT with
+// the manual Python parsers (icl/io/captions.py parse_*_padded): the
+// grammar is `doc:<doc>;<marker><digits>...` where <doc> is nonempty and
+// ';'-free and every field is nonempty ASCII [0-9]+ fitting int32.  Any
+// row that deviates — bad grammar, an int32-overflowing field (Python
+// int() is unbounded but the loaders' array('i') raises OverflowError),
+// or a missing id comment — sets bad_row and the Python caller falls back
+// WHOLE-LOAD to the pure-Python path, reproducing its exact error/skip
+// behavior byte-for-byte.  Zero-padded fields (":07") are flagged per row:
+// such ids don't round-trip re-serialization and take the exact-bytes
+// override path (the flagged rows' id strings are returned verbatim).
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+
+namespace {
+
+struct IdTable {
+  std::vector<int32_t> fields;          // n * nfields
+  std::vector<int32_t> doc_idx;         // n, index into the doc table
+  std::vector<int64_t> padded_rows;     // rows with a zero-padded field
+  std::string padded_ids;               // their exact ids, '\0'-joined
+  std::string docs;                     // unique docs, '\0'-joined,
+  std::vector<int64_t> doc_offsets;     //   first-appearance order
+  int64_t ndocs = 0;
+  int64_t bad_row = -1;                 // first deviating row, else -1
+};
+
+// kind 0: mention  doc:<d>;caption:<i>;mention:<i>
+// kind 1: pair     doc:<d>;caption_1:<i>;mention_1:<i>;caption_2:<i>;mention_2:<i>
+// kind 2: affinity doc:<d>;caption:<i>;mention:<i>;box:<i>
+struct IdGrammar {
+  const char* markers[4];
+  int marker_len[4];
+  int nfields;
+};
+
+const IdGrammar kGrammars[3] = {
+    {{";caption:", ";mention:", nullptr, nullptr}, {9, 9, 0, 0}, 2},
+    {{";caption_1:", ";mention_1:", ";caption_2:", ";mention_2:"},
+     {11, 11, 11, 11}, 4},
+    {{";caption:", ";mention:", ";box:", nullptr}, {9, 9, 5, 0}, 3},
+};
+
+// [0-9]+ with int32-overflow rejection; leading zeros flag `padded`
+// (":07") exactly like the Python parsers ("0" alone is canonical).
+inline bool parse_field(const char*& p, const char* end, int32_t* out,
+                        bool* padded) {
+  const char* s = p;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');             // v <= INT32_MAX before the step,
+    if (v > INT32_MAX) return false;     // so no int64 overflow possible
+    ++p;
+  }
+  if (p == s) return false;
+  if (*s == '0' && p - s > 1) *padded = true;
+  *out = (int32_t)v;
+  return true;
+}
+
+// One id against one grammar.  Equivalence with the Python partition-based
+// parsers: they split at the FIRST occurrence of each marker and then
+// require the captured field to be all-digits, which forces each marker to
+// sit immediately after the digits — i.e. exactly this sequential scan
+// (fuzz-tested in tests/unit/test_native_ids.py).
+inline bool parse_id(const char* s, const char* e, const IdGrammar& g,
+                     int32_t* f, bool* padded, const char** doc,
+                     int* doc_len) {
+  if (e - s < 5 || memcmp(s, "doc:", 4) != 0) return false;
+  const char* p = s + 4;
+  const char* semi = (const char*)memchr(p, ';', e - p);
+  if (!semi || semi == p) return false;  // empty doc, or no ';' at all
+  *doc = p;
+  *doc_len = (int)(semi - p);
+  p = semi;
+  for (int i = 0; i < g.nfields; ++i) {
+    if (e - p < g.marker_len[i] ||
+        memcmp(p, g.markers[i], g.marker_len[i]) != 0)
+      return false;
+    p += g.marker_len[i];
+    if (!parse_field(p, e, &f[i], padded)) return false;
+  }
+  return p == e;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse every id of a FeatsLabels handle under grammar `kind` (0=mention,
+// 1=pair, 2=affinity).  Always returns a table; check idt_bad_row.
+void* featsl_parse_ids(void* h, int32_t kind) {
+  auto* d = (FeatsLabels*)h;
+  const IdGrammar& g = kGrammars[kind];
+  auto* t = new IdTable();
+  const int64_t n = (int64_t)d->labels.size();
+  t->fields.reserve(n * g.nfields);
+  t->doc_idx.reserve(n);
+  std::unordered_map<std::string, int32_t> doc_map;
+  // feats files are typically written image-by-image: cache the previous
+  // doc so the map is touched ~once per image, not once per row
+  std::string last_doc;
+  int32_t last_idx = -1;
+  const char* buf = d->id_buffer.data();
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = d->id_offsets[i];
+    if (off < 0) { t->bad_row = i; break; }  // no id comment on the line
+    const char* s = buf + off;
+    const char* e = s + strlen(s);           // ids are '\0'-joined
+    int32_t f[4];
+    bool padded = false;
+    const char* doc;
+    int doc_len;
+    if (!parse_id(s, e, g, f, &padded, &doc, &doc_len)) {
+      t->bad_row = i;
+      break;
+    }
+    if (last_idx < 0 || (size_t)doc_len != last_doc.size() ||
+        memcmp(doc, last_doc.data(), doc_len) != 0) {
+      last_doc.assign(doc, doc_len);
+      auto it = doc_map.find(last_doc);
+      if (it == doc_map.end()) {
+        last_idx = (int32_t)t->ndocs++;
+        doc_map.emplace(last_doc, last_idx);
+        t->doc_offsets.push_back((int64_t)t->docs.size());
+        t->docs.append(doc, doc_len);
+        t->docs.push_back('\0');
+      } else {
+        last_idx = it->second;
+      }
+    }
+    t->doc_idx.push_back(last_idx);
+    t->fields.insert(t->fields.end(), f, f + g.nfields);
+    if (padded) {
+      t->padded_rows.push_back(i);
+      t->padded_ids.append(s, e - s);
+      t->padded_ids.push_back('\0');
+    }
+  }
+  return t;
+}
+
+int64_t idt_bad_row(void* h) { return ((IdTable*)h)->bad_row; }
+int64_t idt_num_docs(void* h) { return ((IdTable*)h)->ndocs; }
+int64_t idt_docs_size(void* h) {
+  return (int64_t)((IdTable*)h)->docs.size();
+}
+int64_t idt_num_padded(void* h) {
+  return (int64_t)((IdTable*)h)->padded_rows.size();
+}
+int64_t idt_padded_ids_size(void* h) {
+  return (int64_t)((IdTable*)h)->padded_ids.size();
+}
+
+void idt_fill(void* h, int32_t* fields, int32_t* doc_idx,
+              int64_t* padded_rows, char* padded_ids, char* docs) {
+  auto* t = (IdTable*)h;
+  memcpy(fields, t->fields.data(), t->fields.size() * sizeof(int32_t));
+  memcpy(doc_idx, t->doc_idx.data(), t->doc_idx.size() * sizeof(int32_t));
+  memcpy(padded_rows, t->padded_rows.data(),
+         t->padded_rows.size() * sizeof(int64_t));
+  memcpy(padded_ids, t->padded_ids.data(), t->padded_ids.size());
+  memcpy(docs, t->docs.data(), t->docs.size());
+}
+
+void idt_free(void* h) { delete (IdTable*)h; }
 
 }  // extern "C"
 

@@ -1,0 +1,190 @@
+"""Native id-table parse (C++ featsl_parse_ids) vs the pure-Python loaders.
+
+The fast path parses example ids and groups rows per image entirely in
+C++/numpy (icl/data/pipeline._fast_grouped_rows); its contract is
+DATASET-LEVEL equality with the pure-Python path, and whole-load fallback
+(return None) on any id that deviates from the §6.1 grammar so the Python
+path's exact error behavior applies."""
+
+import numpy as np
+import pytest
+
+import icl.native as native
+from icl.data import pipeline
+from icl.data.embeddings import EmbeddingStore
+from icl.data.pipeline import (load_affinity_dataset, load_relation_dataset,
+                               split_path)
+from icl.testing import SynthConfig, generate_dataset
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture
+def synth_dir(tmp_path):
+    d = str(tmp_path)
+    generate_dataset(d, "train", SynthConfig(num_images=4, seed=11))
+    return d
+
+
+def _emb(d):
+    return EmbeddingStore.load(f"{d}/embeddings.txt")
+
+
+def _load_both(loader, d, monkeypatch):
+    fast = loader(d, "train", _emb(d))
+    with monkeypatch.context() as m:
+        m.setattr(pipeline, "_fast_grouped_rows", lambda *a: None)
+        slow = loader(d, "train", _emb(d))
+    return fast, slow
+
+
+def _pad_field(path, field, skip=2):
+    lines = open(path).read().splitlines()
+    target = next(i for i, l in enumerate(lines) if "#" in l and i > skip)
+    head, _, eid = lines[target].partition("# ")
+    pre, sep, post = eid.partition(field + ":")
+    num = post.split(";", 1)[0]
+    lines[target] = head + "# " + pre + sep + "00" + num + post[len(num):]
+    open(path, "w").write("\n".join(lines) + "\n")
+
+
+def test_relation_dataset_parity(synth_dir, monkeypatch):
+    # include a zero-padded id so the override path is compared too
+    _pad_field(split_path(synth_dir, "train", "relation.feats"), "mention_2")
+    fast, slow = _load_both(load_relation_dataset, synth_dir, monkeypatch)
+    assert len(fast.images) == len(slow.images) > 0
+    for x, y in zip(fast.images, slow.images):
+        assert x.img_id == y.img_id
+        for f in ("tokens", "tok_len", "m_cap", "m_first", "m_last",
+                  "pair_ij", "pair_label", "pair_key"):
+            np.testing.assert_array_equal(getattr(x, f), getattr(y, f), f)
+            assert getattr(x, f).dtype == getattr(y, f).dtype, f
+        assert (x.pair_id_overrides or {}) == (y.pair_id_overrides or {})
+        assert x.pair_ids == y.pair_ids
+
+
+def test_affinity_dataset_parity(synth_dir, monkeypatch):
+    _pad_field(split_path(synth_dir, "train", "affinity.feats"), "box")
+    fast, slow = _load_both(load_affinity_dataset, synth_dir, monkeypatch)
+    assert len(fast.images) == len(slow.images) > 0
+    for x, y in zip(fast.images, slow.images):
+        assert x.img_id == y.img_id
+        for f in ("phrase_tokens", "phrase_len", "grid_label", "grid_valid"):
+            np.testing.assert_array_equal(getattr(x, f), getattr(y, f), f)
+            assert getattr(x, f).dtype == getattr(y, f).dtype, f
+        assert x.mention_ids == y.mention_ids
+        assert x.box_idx == y.box_idx
+        assert (x.cell_id_overrides or {}) == (y.cell_id_overrides or {})
+        np.testing.assert_array_equal(np.asarray(x.box_feats),
+                                      np.asarray(y.box_feats))
+
+
+def _one_row_feats(tmp_path, eid, label="1"):
+    p = tmp_path / "t.feats"
+    p.write_text(f"{label} 3:0.5 # {eid}\n")
+    return str(p)
+
+
+def test_native_grammar_fuzz_matches_python(tmp_path):
+    """Per-id crosscheck: for every fuzz case, the native parse either
+    extracts exactly what the Python parser does or signals fallback
+    exactly when the Python parser raises."""
+    import random
+
+    from icl.data.pipeline import parse_affinity_id_padded
+    from icl.io.captions import parse_mention_id_padded, parse_pair_id_padded
+    from icl.native.feats import parse_feats_ids
+
+    rng = random.Random(7)
+    pieces = ["doc:", "caption:", "mention:", "box:", "caption_1:",
+              "mention_1:", "caption_2:", "mention_2:", ";", "0", "7",
+              "07", "img.jpg", "", "x", ":", "12", "4294967296"]
+    cases = ["".join(rng.choice(pieces) for _ in range(rng.randint(1, 10)))
+             for _ in range(800)]
+    for d in ("a.jpg", "b", "x y.jpg", "ümlaut.jpg"):
+        cases += [f"doc:{d};caption:3;mention:0",
+                  f"doc:{d};caption:03;mention:0",
+                  f"doc:{d};caption_1:1;mention_1:2;caption_2:3;mention_2:4",
+                  f"doc:{d};caption_1:1;mention_1:02;caption_2:3;mention_2:4",
+                  f"doc:{d};caption:1;mention:2;box:07",
+                  f"doc:{d};caption:1;mention:2;box:2147483647",
+                  f"doc:{d};caption:1;mention:2;box:2147483648"]
+
+    for kind, parser, k in (("mention", parse_mention_id_padded, 2),
+                            ("pair", parse_pair_id_padded, 4),
+                            ("affinity", parse_affinity_id_padded, 3)):
+        for eid in cases:
+            if "#" in eid or "\n" in eid or eid != eid.strip():
+                continue  # not representable as a feats id comment
+            path = _one_row_feats(tmp_path, eid)
+            try:
+                want = parser(eid)
+                # int32-range fields only: the loaders' array('i') would
+                # raise OverflowError -> native must fall back
+                in_range = all(v <= 2**31 - 1 for v in want[1:-1])
+            except ValueError:
+                want, in_range = None, False
+            got = parse_feats_ids(path, kind)
+            if want is None or not in_range:
+                assert got is None, (kind, eid)
+            else:
+                assert got is not None, (kind, eid)
+                labels, fields, doc_idx, docs, overrides = got
+                assert docs[int(doc_idx[0])] == want[0], (kind, eid)
+                assert fields[0].tolist() == list(want[1:-1]), (kind, eid)
+                padded = want[-1]
+                assert (0 in overrides) is padded, (kind, eid)
+                if padded:
+                    assert overrides[0] == eid
+
+
+def test_grouping_with_out_of_order_docs(tmp_path):
+    """File order ≠ sorted-doc order ≠ first-appearance order: the fast
+    grouping must still emit sorted-doc groups with file-order rows and
+    correctly-attached overrides (regression: indexing groups by
+    positional sorted_rank instead of row_rank attributed every group to
+    the wrong image on any non-pre-sorted split)."""
+    p = tmp_path / "o.feats"
+    p.write_text(
+        "1 1:1 # doc:bb;caption_1:0;mention_1:0;caption_2:0;mention_2:1\n"
+        "2 1:1 # doc:aa;caption_1:1;mention_1:0;caption_2:1;mention_2:1\n"
+        "0 1:1 # doc:cc;caption_1:0;mention_1:0;caption_2:0;mention_2:1\n"
+        "3 1:1 # doc:bb;caption_1:2;mention_1:03;caption_2:2;mention_2:1\n"
+        "1 1:1 # doc:aa;caption_1:3;mention_1:0;caption_2:3;mention_2:1\n")
+    fast = pipeline._fast_grouped_rows(str(p), "pair")
+    slow = pipeline._python_grouped_pair_rows(str(p))
+    assert [g[0] for g in fast] == [g[0] for g in slow] == ["aa", "bb", "cc"]
+    for (fi, fpk, fl, fo), (si, spk, sl_, so) in zip(fast, slow):
+        np.testing.assert_array_equal(fpk, spk)
+        np.testing.assert_array_equal(fl, sl_)
+        assert (fo or {}) == (so or {})
+    # the padded bb row carries its exact-bytes override at file position 1
+    assert fast[1][3] == {1: "doc:bb;caption_1:2;mention_1:03"
+                             ";caption_2:2;mention_2:1"}
+
+
+def test_bad_id_falls_back_to_python_error(synth_dir):
+    path = split_path(synth_dir, "train", "relation.feats")
+    with open(path, "a") as f:
+        f.write("1 2:1 # doc:z.jpg;caption:0;mention:1\n")  # mention grammar
+    with pytest.raises(ValueError, match="bad pair id"):
+        load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+
+
+def test_overflow_id_falls_back_to_python_error(synth_dir):
+    path = split_path(synth_dir, "train", "relation.feats")
+    with open(path, "a") as f:
+        f.write("1 2:1 # doc:z.jpg;caption_1:2147483648;mention_1:0"
+                ";caption_2:0;mention_2:1\n")
+    with pytest.raises(OverflowError):
+        load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+
+
+def test_nonfinite_label_falls_back_to_python_error(synth_dir):
+    path = split_path(synth_dir, "train", "relation.feats")
+    with open(path, "a") as f:
+        f.write("nan 2:1 # doc:z.jpg;caption_1:0;mention_1:0"
+                ";caption_2:0;mention_2:1\n")
+    with pytest.raises(ValueError):
+        load_relation_dataset(synth_dir, "train", _emb(synth_dir))
