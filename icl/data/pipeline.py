@@ -36,8 +36,9 @@ import numpy as np
 
 from icl.data.embeddings import EmbeddingStore
 from icl.io.boxes import group_boxes_by_image, read_box_feats
-from icl.io.captions import (Mention, make_pair_id, parse_pair_id_padded,
-                             read_captions, read_mentions)
+from icl.io.captions import (MentionColumns, make_pair_id,
+                             parse_pair_id_padded, read_captions,
+                             read_mention_columns, read_mentions)
 from icl.io.feats import read_feats_labels
 
 # affinity id grammar (implemented by hand below, see icl.io.captions):
@@ -253,22 +254,36 @@ def _python_grouped_pair_rows(path: str):
     return out
 
 
-def _rows_for_mentions(ms: list[Mention], pair_key: np.ndarray) -> np.ndarray:
-    """Map pair_key's (ci, mi)/(cj, mj) columns to mention rows of ``ms``
-    (which is sorted by (cap_idx, mention_idx)) — int32[P, 2].
+def _mention_groups(cols: MentionColumns) -> dict[str, np.ndarray]:
+    """img_id → row indices of its mentions, sorted by (cap_idx,
+    mention_idx) with file order for ties (the ``sorted(ms, key=...)``
+    of the object-based loaders, vectorized with one global lexsort)."""
+    if len(cols.doc_idx) == 0:
+        return {}
+    order = np.lexsort((cols.mention_idx, cols.cap_idx, cols.doc_idx))
+    sorted_doc = cols.doc_idx[order]
+    bounds = np.flatnonzero(np.diff(sorted_doc)) + 1
+    return {cols.docs[int(sorted_doc[s[0]])]: s
+            for s in np.split(order, bounds)}
 
-    Vectorized over the image's pairs via searchsorted on the encoded
-    (cap << 32 | mention) keys; a pair referencing a nonexistent mention
-    raises KeyError((ci, mi)) like the dict lookup it replaces."""
-    mkeys = np.fromiter(((m.cap_idx << 32) | m.mention_idx for m in ms),
-                        np.int64, len(ms))
+
+def _rows_for_mentions(mkeys: np.ndarray, pair_key: np.ndarray) -> np.ndarray:
+    """Map pair_key's (ci, mi)/(cj, mj) columns to mention rows — the
+    positions of the encoded (cap << 32 | mention) keys in the ascending
+    ``mkeys`` — int32[P, 2].
+
+    Vectorized over the image's pairs via searchsorted; a pair referencing
+    a nonexistent mention raises KeyError((ci, mi)) like the dict lookup
+    it replaces."""
     pk = pair_key.astype(np.int64)
     pair_ij = np.empty((len(pk), 2), np.int32)
     for col in (0, 1):
         enc = (pk[:, 2 * col] << 32) | pk[:, 2 * col + 1]
-        pos = np.searchsorted(mkeys, enc)
-        pos_c = np.minimum(pos, len(mkeys) - 1)
-        ok = (pos < len(mkeys)) & (mkeys[pos_c] == enc)
+        # side='right' - 1: the LAST row of an equal run, matching the
+        # dict-comprehension (last-wins) lookup this replaces in the
+        # pathological duplicate-mention-key case
+        pos = np.searchsorted(mkeys, enc, side="right") - 1
+        ok = (pos >= 0) & (mkeys[np.maximum(pos, 0)] == enc)
         if not ok.all():
             b = int(np.flatnonzero(~ok)[0])
             raise KeyError((int(pk[b, 2 * col]), int(pk[b, 2 * col + 1])))
@@ -294,32 +309,28 @@ def load_relation_dataset(
     if grouped is None:
         grouped = _python_grouped_pair_rows(feats_path)
     captions = read_captions(split_path(data_dir, split, "captions.txt"))
-    all_mentions = read_mentions(split_path(data_dir, split, "mentions.txt"))
-
-    mentions_by_img: dict[str, list[Mention]] = {}
-    for m in all_mentions:
-        mentions_by_img.setdefault(m.img_id, []).append(m)
+    cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
+    mention_rows = _mention_groups(cols)
 
     images: list[RelationImage] = []
     for img_id, pair_key, pair_label, overrides in grouped:
-        ms = sorted(mentions_by_img.get(img_id, []),
-                    key=lambda m: (m.cap_idx, m.mention_idx))
-        if not ms:
+        sl = mention_rows.get(img_id)
+        if sl is None:
             raise ValueError(f"no mentions for image {img_id} with relation pairs")
-        cap_keys = sorted({m.caption_key for m in ms},
-                          key=lambda k: int(k.rpartition("#")[2]))
-        cap_row = {k: i for i, k in enumerate(cap_keys)}
-        L = max(len(captions[k].tokens) for k in cap_keys)
-        tokens = np.zeros((len(cap_keys), L), dtype=np.int32)
-        tok_len = np.zeros(len(cap_keys), dtype=np.int32)
-        for k, row in cap_row.items():
-            tokens[row], tok_len[row] = emb.encode_tokens(captions[k].tokens, L)
-        m_cap = np.array([cap_row[m.caption_key] for m in ms], dtype=np.int32)
-        m_first = np.array([min(m.first, int(tok_len[cap_row[m.caption_key]]) - 1)
-                            for m in ms], dtype=np.int32)
-        m_last = np.array([min(m.last, int(tok_len[cap_row[m.caption_key]]) - 1)
-                           for m in ms], dtype=np.int32)
-        pair_ij = _rows_for_mentions(ms, pair_key)
+        cap, men = cols.cap_idx[sl], cols.mention_idx[sl]
+        ucaps = np.unique(cap)
+        cap_toks = [captions[f"{img_id}#{int(ci)}"].tokens for ci in ucaps]
+        L = max(len(t) for t in cap_toks)
+        tokens = np.zeros((len(ucaps), L), dtype=np.int32)
+        tok_len = np.zeros(len(ucaps), dtype=np.int32)
+        for row, toks in enumerate(cap_toks):
+            tokens[row], tok_len[row] = emb.encode_tokens(toks, L)
+        m_cap = np.searchsorted(ucaps, cap).astype(np.int32)
+        lim = tok_len[m_cap] - 1
+        m_first = np.minimum(cols.first[sl], lim).astype(np.int32)
+        m_last = np.minimum(cols.last[sl], lim).astype(np.int32)
+        mkeys = (cap.astype(np.int64) << 32) | men
+        pair_ij = _rows_for_mentions(mkeys, pair_key)
         images.append(RelationImage(
             img_id=img_id, tokens=tokens, tok_len=tok_len, m_cap=m_cap,
             m_first=m_first, m_last=m_last, pair_ij=pair_ij,
@@ -401,8 +412,8 @@ def load_affinity_dataset(
     if grouped is None:
         grouped = _python_grouped_affinity_rows(feats_path)
     captions = read_captions(split_path(data_dir, split, "captions.txt"))
-    all_mentions = {m.mention_id: m for m in
-                    read_mentions(split_path(data_dir, split, "mentions.txt"))}
+    cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
+    mention_rows = _mention_groups(cols)
     # memory-mapped + lazy per-image views (SURVEY §4.3): feature bytes are
     # paged in only when a batch containing the image is actually assembled
     box_ids, box_arr = read_box_feats(
@@ -431,22 +442,36 @@ def load_affinity_dataset(
         if not ok.all():
             b = int(np.flatnonzero(~ok)[0])
             raise KeyError(int(cell_key[b, 2]))
-        cols = sb_order[pos_c]
+        bcols = sb_order[pos_c]
+        sl = mention_rows.get(img_id)
+        # resolve all M mention keys at once; side='right' - 1 keeps the
+        # last file-order row of an equal run, matching the
+        # {mention_id: m} dict (last-wins) it replaces
+        mkeys = (np.empty(0, np.int64) if sl is None else
+                 (cols.cap_idx[sl].astype(np.int64) << 32)
+                 | cols.mention_idx[sl])
+        pos_m = np.searchsorted(mkeys, uniq_m, side="right") - 1
+        bad = (pos_m < 0) | (mkeys[np.maximum(pos_m, 0)] != uniq_m) \
+            if len(mkeys) else np.ones(M, bool)
+        if bad.any():
+            ci, mi = mention_keys[int(np.flatnonzero(bad)[0])]
+            raise KeyError(f"doc:{img_id};caption:{ci};mention:{mi}")
+        gs = sl[pos_m]
+        firsts, lasts = cols.first[gs], cols.last[gs]
         phrase_tokens = np.zeros((M, max_phrase_len), dtype=np.int32)
         phrase_len = np.zeros(M, dtype=np.int32)
         mention_ids = []
         for r, (ci, mi) in enumerate(mention_keys):
-            mid = f"doc:{img_id};caption:{ci};mention:{mi}"
-            m = all_mentions[mid]
-            toks = captions[m.caption_key].tokens[m.first:m.last + 1]
+            toks = captions[f"{img_id}#{ci}"].tokens[
+                int(firsts[r]):int(lasts[r]) + 1]
             phrase_tokens[r], phrase_len[r] = emb.encode_tokens(toks, max_phrase_len)
-            mention_ids.append(mid)
+            mention_ids.append(f"doc:{img_id};caption:{ci};mention:{mi}")
         grid_label = np.zeros((M, B), dtype=np.int32)
         grid_valid = np.zeros((M, B), dtype=bool)
         # duplicate cells keep the LAST file-order occurrence, matching the
         # row-by-row fill this replaces (unique on the reversed linear
         # index keeps each cell's final write)
-        lin = rows_r.astype(np.int64) * B + cols
+        lin = rows_r.astype(np.int64) * B + bcols
         uniq_lin, first_rev = np.unique(lin[::-1], return_index=True)
         sel = len(lin) - 1 - first_rev
         grid_label.flat[uniq_lin] = cell_label[sel]

@@ -163,6 +163,54 @@ def read_mentions(path: str) -> list[Mention]:
     return out
 
 
+@dataclasses.dataclass
+class MentionColumns:
+    """Columnar mentions.txt: the MSCOCO-scale form the dataset loaders
+    consume (no per-mention Python objects).  ``docs`` is the unique image
+    ids in first-appearance order; the int32 columns are parallel."""
+
+    docs: list[str]
+    doc_idx: "np.ndarray"     # int32[N] index into docs
+    cap_idx: "np.ndarray"     # int32[N]
+    mention_idx: "np.ndarray" # int32[N]
+    first: "np.ndarray"       # int32[N] inclusive token span
+    last: "np.ndarray"        # int32[N]
+
+
+def read_mention_columns(path: str, use_native: bool = True) -> MentionColumns:
+    """Columnar :func:`read_mentions` — C++ single-pass parse when
+    available (native/icl_native.cpp mentions_parse), else built from the
+    Python reader.  The native path falls back WHOLE-FILE on any line its
+    strict grammar cannot prove equivalent, so error behavior always
+    matches read_mentions (equality tested in
+    tests/unit/test_native_ids.py)."""
+    import numpy as np
+
+    if use_native:
+        try:
+            from icl.native import mentions as _nat
+
+            cols = _nat.parse_mentions(path)
+            if cols is not None:
+                return MentionColumns(*cols)
+        except ImportError:
+            pass
+    ms = read_mentions(path)
+    n = len(ms)
+    docs: list[str] = []
+    dmap: dict[str, int] = {}
+    cols = [np.empty(n, np.int32) for _ in range(5)]
+    doc_idx, cap, men, first, last = cols
+    for i, m in enumerate(ms):
+        j = dmap.get(m.img_id)
+        if j is None:
+            j = dmap.setdefault(m.img_id, len(docs))
+            docs.append(m.img_id)
+        doc_idx[i], cap[i], men[i] = j, m.cap_idx, m.mention_idx
+        first[i], last[i] = m.first, m.last
+    return MentionColumns(docs, doc_idx, cap, men, first, last)
+
+
 def write_captions(path: str, captions: list[Caption]) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for c in captions:

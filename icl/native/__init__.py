@@ -84,6 +84,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.idt_fill.restype = None
     lib.idt_free.restype = None
     lib.idt_free.argtypes = [ctypes.c_void_p]
+    lib.mentions_parse.restype = ctypes.c_void_p
+    lib.mentions_parse.argtypes = [ctypes.c_char_p]
+    for fn in ("men_num", "men_num_docs", "men_docs_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.men_fallback.restype = ctypes.c_int32
+    lib.men_fallback.argtypes = [ctypes.c_void_p]
+    lib.men_fill.restype = None
+    lib.men_free.restype = None
+    lib.men_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
     lib.w2v_load.restype = ctypes.c_void_p
     lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

@@ -468,6 +468,131 @@ void idt_free(void* h) { delete (IdTable*)h; }
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// mentions.txt columnar parser (SURVEY §3.1 C3).  Line grammar
+// `<mention_id>\t<first>,<last>[\t<text>]` parsed straight into int32
+// columns + a unique-doc table, so MSCOCO-scale loads never build per-
+// mention Python objects.  PARITY CONTRACT with icl.io.captions.
+// read_mentions: blank lines and lines starting with '#' are skipped;
+// ANY other deviation — bad id grammar, span fields that are not plain
+// [0-9]+ (Python int() also accepts '+1'/' 1'/'1_0' — rare; punt),
+// first > last, int32 overflow, a missing tab, trailing '\r' — sets the
+// fallback flag and the Python caller re-reads with read_mentions,
+// reproducing its exact error messages.  The optional text field is
+// ignored (columnar consumers never need it).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MentionCols {
+  std::vector<int32_t> cap, men, first, last, doc_idx;
+  std::string docs;                 // unique docs, '\0'-joined
+  std::vector<int64_t> doc_offsets;
+  int64_t ndocs = 0;
+  bool fallback = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mentions_parse(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (size > 0 && fread(&buf[0], 1, size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* d = new MentionCols();
+  std::unordered_map<std::string, int32_t> doc_map;
+  std::string last_doc;
+  int32_t last_idx = -1;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le == p || *p == '#') {          // blank / comment line
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    const char* tab1 = (const char*)memchr(p, '\t', le - p);
+    if (!tab1) { d->fallback = true; break; }
+    int32_t fid[4];
+    bool padded = false;  // canonicalized to ints either way — no override
+    const char* doc;
+    int doc_len;
+    if (!parse_id(p, tab1, kGrammars[0], fid, &padded, &doc, &doc_len)) {
+      d->fallback = true;
+      break;
+    }
+    const char* q = tab1 + 1;
+    const char* tab2 = (const char*)memchr(q, '\t', le - q);
+    const char* f1e = tab2 ? tab2 : le;
+    int32_t first_v, last_v;
+    bool span_pad = false;
+    if (!parse_field(q, f1e, &first_v, &span_pad) || q >= f1e || *q != ',') {
+      d->fallback = true;
+      break;
+    }
+    ++q;
+    if (!parse_field(q, f1e, &last_v, &span_pad) || q != f1e ||
+        first_v > last_v) {
+      d->fallback = true;
+      break;
+    }
+    if (last_idx < 0 || (size_t)doc_len != last_doc.size() ||
+        memcmp(doc, last_doc.data(), doc_len) != 0) {
+      last_doc.assign(doc, doc_len);
+      auto it = doc_map.find(last_doc);
+      if (it == doc_map.end()) {
+        last_idx = (int32_t)d->ndocs++;
+        doc_map.emplace(last_doc, last_idx);
+        d->doc_offsets.push_back((int64_t)d->docs.size());
+        d->docs.append(doc, doc_len);
+        d->docs.push_back('\0');
+      } else {
+        last_idx = it->second;
+      }
+    }
+    d->doc_idx.push_back(last_idx);
+    d->cap.push_back(fid[0]);
+    d->men.push_back(fid[1]);
+    d->first.push_back(first_v);
+    d->last.push_back(last_v);
+    p = nl ? nl + 1 : end;
+  }
+  return d;
+}
+
+int64_t men_num(void* h) { return (int64_t)((MentionCols*)h)->cap.size(); }
+int32_t men_fallback(void* h) { return ((MentionCols*)h)->fallback ? 1 : 0; }
+int64_t men_num_docs(void* h) { return ((MentionCols*)h)->ndocs; }
+int64_t men_docs_size(void* h) {
+  return (int64_t)((MentionCols*)h)->docs.size();
+}
+
+void men_fill(void* h, int32_t* cap, int32_t* men, int32_t* first,
+              int32_t* last, int32_t* doc_idx, char* docs) {
+  auto* d = (MentionCols*)h;
+  memcpy(cap, d->cap.data(), d->cap.size() * sizeof(int32_t));
+  memcpy(men, d->men.data(), d->men.size() * sizeof(int32_t));
+  memcpy(first, d->first.data(), d->first.size() * sizeof(int32_t));
+  memcpy(last, d->last.data(), d->last.size() * sizeof(int32_t));
+  memcpy(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
+  memcpy(docs, d->docs.data(), d->docs.size());
+}
+
+void men_free(void* h) { delete (MentionCols*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // word2vec binary loader (GoogleNews .bin: "V D\n" header, then per word:
 // "<word> " + D little-endian float32).  Equivalent of gensim's Cython
 // reader (SURVEY §3.2 N2).  Optional vocabulary filter: when `filter_words`

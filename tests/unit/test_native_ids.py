@@ -164,6 +164,73 @@ def test_grouping_with_out_of_order_docs(tmp_path):
                              ";caption_2:2;mention_2:1"}
 
 
+def test_mention_columns_parity(synth_dir):
+    """Native mentions.txt columnar parse ≡ columns built from the Python
+    object reader, including padded id fields and comment/blank lines."""
+    from icl.io.captions import read_mention_columns
+
+    path = f"{synth_dir}/train.mentions.txt"
+    with open(path, "a") as f:
+        f.write("# a comment line\n\n"
+                "doc:zz.jpg;caption:02;mention:1\t3,07\textra text\n")
+    fast = read_mention_columns(path)
+    slow = read_mention_columns(path, use_native=False)
+    assert fast.docs == slow.docs
+    for f_ in ("doc_idx", "cap_idx", "mention_idx", "first", "last"):
+        np.testing.assert_array_equal(getattr(fast, f_), getattr(slow, f_), f_)
+        assert getattr(fast, f_).dtype == np.int32
+    assert fast.docs[-1] == "zz.jpg" and fast.cap_idx[-1] == 2
+    assert fast.first[-1] == 3 and fast.last[-1] == 7
+
+
+def test_mention_columns_fallback_cases(tmp_path):
+    """Lines the strict native grammar cannot prove equivalent must fall
+    back whole-file: the loader then raises read_mentions' exact error."""
+    from icl.io.captions import read_mention_columns
+    from icl.native.mentions import parse_mentions
+
+    ok = "doc:a.jpg;caption:0;mention:1\t2,3\n"
+    for bad, python_accepts in (
+            ("doc:a.jpg;caption:0;mention:1\t3,2\n", False),   # first > last
+            ("doc:a.jpg;caption:0;mention:1\t2\n", False),     # no comma
+            ("doc:a.jpg;caption:0;mention:1\n", False),        # no span
+            ("doc:bad id\t2,3\n", False),                      # bad grammar
+            ("doc:a.jpg;caption:0;mention:1\t+2,3\n", True),   # int('+2')=2
+            ("doc:a.jpg;caption:0;mention:1\t 2,3\n", True),   # int(' 2')=2
+            ("doc:a.jpg;caption:0;mention:1\t2,3\r\n", True)):   # int strips \r
+        p = tmp_path / "m.txt"
+        p.write_text(ok + bad)
+        assert parse_mentions(str(p)) is None, bad  # native punts
+        if python_accepts:
+            cols = read_mention_columns(str(p))     # via Python reader
+            assert len(cols.cap_idx) == 2
+        else:
+            with pytest.raises(ValueError):
+                read_mention_columns(str(p))
+
+
+def test_duplicate_mention_key_keeps_last(tmp_path):
+    """Duplicate (cap, mention) rows: the dict lookups were last-wins —
+    the searchsorted replacements must match (side='right' - 1)."""
+    from icl.data.pipeline import _mention_groups, _rows_for_mentions
+    from icl.io.captions import read_mention_columns
+
+    p = tmp_path / "m.txt"
+    p.write_text("doc:a.jpg;caption:0;mention:0\t0,1\n"
+                 "doc:a.jpg;caption:0;mention:1\t1,1\n"
+                 "doc:a.jpg;caption:0;mention:1\t2,3\n")  # duplicate key
+    cols = read_mention_columns(str(p))
+    groups = _mention_groups(cols)
+    sl = groups["a.jpg"]
+    mkeys = (cols.cap_idx[sl].astype(np.int64) << 32) | cols.mention_idx[sl]
+    pair_key = np.array([[0, 0, 0, 1]], np.int32)
+    ij = _rows_for_mentions(mkeys, pair_key)
+    # row index 2 is the LAST duplicate (file order preserved by lexsort)
+    assert int(cols.first[sl[ij[0, 1]]]) == 2
+    with pytest.raises(KeyError):
+        _rows_for_mentions(mkeys, np.array([[0, 0, 0, 9]], np.int32))
+
+
 def test_bad_id_falls_back_to_python_error(synth_dir):
     path = split_path(synth_dir, "train", "relation.feats")
     with open(path, "a") as f:
