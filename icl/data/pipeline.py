@@ -38,7 +38,7 @@ from icl.data.embeddings import EmbeddingStore
 from icl.io.boxes import group_boxes_by_image, read_box_feats
 from icl.io.captions import (MentionColumns, make_pair_id,
                              parse_pair_id_padded, read_captions,
-                             read_mention_columns, read_mentions)
+                             read_mention_columns)
 from icl.io.feats import read_feats_labels
 
 # affinity id grammar (implemented by hand below, see icl.io.captions):
@@ -111,19 +111,64 @@ def load_mention_dataset(
     """Join <split>.<task>.feats labels with mention token spans.
 
     Labels-only `.feats` read: the sparse feature columns feed the sklearn
-    baseline alone (SURVEY §4.4), so the loaders skip them entirely."""
-    ids, flabels = read_feats_labels(
-        split_path(data_dir, split, f"{task}.feats"))
+    baseline alone (SURVEY §4.4), so the loaders skip them entirely.
+    Same native fast path as the relation/affinity loaders (C++ id table +
+    columnar mentions); mentions resolve by parsed (doc, caption, mention)
+    ints, so non-canonical (zero-padded) feats ids join correctly while
+    ``ids`` keeps the file's exact bytes for the `.scores` round-trip
+    (§6.1 override discipline — the pre-r3 dict join crashed on them)."""
+    from icl.io.captions import parse_mention_id_padded
+
+    feats_path = split_path(data_dir, split, f"{task}.feats")
+    fast = None
+    try:
+        from icl.native import feats as _nat
+        fast = _nat.parse_feats_ids(feats_path, "mention")
+    except ImportError:
+        pass
     captions = read_captions(split_path(data_dir, split, "captions.txt"))
-    mentions = {m.mention_id: m for m in
-                read_mentions(split_path(data_dir, split, "mentions.txt"))}
-    n = len(ids)
+    cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
+    groups = _mention_groups(cols)
+
+    if fast is not None:
+        flabels, fields, doc_idx, docs, row_over = fast
+        n = len(flabels)
+        labels = flabels.astype(np.int32)
+        ids = [None] * n
+        row_doc = [docs[d] for d in doc_idx.tolist()]
+        row_ci = fields[:, 0].tolist()
+        row_mi = fields[:, 1].tolist()
+    else:
+        raw_ids, flabels = read_feats_labels(feats_path)
+        n = len(raw_ids)
+        labels = flabels.astype(np.int32)
+        ids = list(raw_ids)
+        row_doc, row_ci, row_mi, row_over = [None] * n, [0] * n, [0] * n, {}
+        for r, eid in enumerate(raw_ids):
+            img, ci, mi, padded = parse_mention_id_padded(eid)
+            row_doc[r], row_ci[r], row_mi[r] = img, ci, mi
+
     token_ids = np.zeros((n, max_len), dtype=np.int32)
     lengths = np.zeros(n, dtype=np.int32)
-    labels = flabels.astype(np.int32)
-    for r, eid in enumerate(ids):
-        m = mentions[eid]
-        toks = captions[m.caption_key].tokens[m.first:m.last + 1]
+    cur_doc, sl, mkeys = None, None, None
+    for r in range(n):
+        img, ci, mi = row_doc[r], row_ci[r], row_mi[r]
+        if ids[r] is None:
+            ids[r] = row_over.get(r) or f"doc:{img};caption:{ci};mention:{mi}"
+        if img != cur_doc:
+            cur_doc = img
+            sl = groups.get(img)
+            mkeys = (None if sl is None else
+                     (cols.cap_idx[sl].astype(np.int64) << 32)
+                     | cols.mention_idx[sl])
+        enc = (ci << 32) | mi
+        pos = (-1 if mkeys is None
+               else int(np.searchsorted(mkeys, enc, side="right")) - 1)
+        if pos < 0 or mkeys[pos] != enc:
+            raise KeyError(ids[r])
+        g = int(sl[pos])
+        toks = captions[f"{img}#{ci}"].tokens[
+            int(cols.first[g]):int(cols.last[g]) + 1]
         token_ids[r], lengths[r] = emb.encode_tokens(toks, max_len)
     return MentionDataset(token_ids, lengths, labels, ids)
 

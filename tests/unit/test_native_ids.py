@@ -139,6 +139,43 @@ def test_native_grammar_fuzz_matches_python(tmp_path):
                     assert overrides[0] == eid
 
 
+def test_mention_dataset_parity_and_padded_ids(synth_dir, monkeypatch):
+    """load_mention_dataset: native fast path ≡ Python fallback, and a
+    zero-padded feats id joins by parsed ints while `ids` keeps the
+    file's exact bytes (pre-r3, the canonical-string dict join crashed)."""
+    from icl.data.pipeline import load_mention_dataset
+    from icl.native import feats as nat_feats
+
+    path = split_path(synth_dir, "train", "nonvisual.feats")
+    _pad_field(path, "mention")
+    from icl.io.captions import parse_mention_id_padded
+    lines = open(path).read().splitlines()
+    padded_id = next(eid for eid in (l.partition("# ")[2]
+                                     for l in lines if "#" in l)
+                     if parse_mention_id_padded(eid)[-1])
+    emb = _emb(synth_dir)
+    fast = load_mention_dataset(synth_dir, "train", "nonvisual", emb)
+    with monkeypatch.context() as m:
+        m.setattr(nat_feats, "parse_feats_ids", lambda *a: None)
+        slow = load_mention_dataset(synth_dir, "train", "nonvisual", emb)
+    np.testing.assert_array_equal(fast.token_ids, slow.token_ids)
+    np.testing.assert_array_equal(fast.lengths, slow.lengths)
+    np.testing.assert_array_equal(fast.labels, slow.labels)
+    assert fast.ids == slow.ids
+    assert padded_id in fast.ids          # exact bytes, resolved by ints
+    assert any(le > 0 for le in fast.lengths)
+
+
+def test_mention_dataset_missing_mention_keyerror(synth_dir):
+    from icl.data.pipeline import load_mention_dataset
+
+    path = split_path(synth_dir, "train", "nonvisual.feats")
+    with open(path, "a") as f:
+        f.write("1 2:1 # doc:nosuch.jpg;caption:0;mention:0\n")
+    with pytest.raises(KeyError, match="nosuch"):
+        load_mention_dataset(synth_dir, "train", "nonvisual", _emb(synth_dir))
+
+
 def test_grouping_with_out_of_order_docs(tmp_path):
     """File order ≠ sorted-doc order ≠ first-appearance order: the fast
     grouping must still emit sorted-doc groups with file-order rows and
