@@ -194,8 +194,11 @@ def _fast_grouped_rows(path: str, kind: str):
     flabels, fields, doc_idx, docs, row_overrides = fast
     if len(flabels) == 0:
         return []
-    if not np.isfinite(flabels).all():
-        return None   # int(nan/inf) raises in the Python path — take it
+    if not np.isfinite(flabels).all() or np.abs(flabels).max() > 2**31 - 1:
+        # int(nan/inf) raises in the Python path, and an int32-overflowing
+        # label raises OverflowError at array('i') — astype would silently
+        # wrap; take the Python path for its exact behavior
+        return None
     # rows sorted by doc STRING (the loaders' sorted(by_img) order) with a
     # stable sort, so file order is preserved within each image
     order_docs = sorted(range(len(docs)), key=docs.__getitem__)

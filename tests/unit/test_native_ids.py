@@ -292,3 +292,14 @@ def test_nonfinite_label_falls_back_to_python_error(synth_dir):
                 ";caption_2:0;mention_2:1\n")
     with pytest.raises(ValueError):
         load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+
+
+def test_int32_overflow_label_falls_back_to_python_error(synth_dir):
+    """astype(int32) would silently wrap a huge label; the Python path's
+    array('i') raises OverflowError — the fast path must defer to it."""
+    path = split_path(synth_dir, "train", "relation.feats")
+    with open(path, "a") as f:
+        f.write("4294967296 2:1 # doc:z.jpg;caption_1:0;mention_1:0"
+                ";caption_2:0;mention_2:1\n")
+    with pytest.raises(OverflowError):
+        load_relation_dataset(synth_dir, "train", _emb(synth_dir))
