@@ -161,6 +161,14 @@ class EmbeddingStore:
                 f.write(w.encode("utf-8") + b" ")
                 f.write(self.table[self.vocab[w]].astype("<f4").tobytes())
 
+    def words_by_row(self) -> list[str]:
+        """Vocabulary words in table-row order (row 1 first) — the layout
+        the native caption tokenizer consumes (icl/native/captions.py)."""
+        out = [""] * len(self.vocab)
+        for w, r in self.vocab.items():
+            out[r - 1] = w
+        return out
+
     # -- tokenization ----------------------------------------------------
     def lookup_id(self, word: str) -> int:
         """word → table row; OOV path mirrors gensim-era normalization:

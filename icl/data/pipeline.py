@@ -126,7 +126,8 @@ def load_mention_dataset(
         fast = _nat.parse_feats_ids(feats_path, "mention")
     except ImportError:
         pass
-    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    cap_ids = _load_caption_ids(
+        split_path(data_dir, split, "captions.txt"), emb)
     cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
     groups = _mention_groups(cols)
 
@@ -167,10 +168,85 @@ def load_mention_dataset(
         if pos < 0 or mkeys[pos] != enc:
             raise KeyError(ids[r])
         g = int(sl[pos])
-        toks = captions[f"{img}#{ci}"].tokens[
-            int(cols.first[g]):int(cols.last[g]) + 1]
-        token_ids[r], lengths[r] = emb.encode_tokens(toks, max_len)
+        seg = cap_ids.ids(img, ci)[int(cols.first[g]):int(cols.last[g]) + 1]
+        n_tok = min(len(seg), max_len)
+        token_ids[r, :n_tok] = seg[:n_tok]
+        lengths[r] = n_tok
     return MentionDataset(token_ids, lengths, labels, ids)
+
+
+# ---------------------------------------------------------------------------
+# Caption token-id table: captions.txt pre-encoded to vocab rows
+# ---------------------------------------------------------------------------
+
+class _CaptionIds:
+    """Per-caption token-id rows keyed (img, cap_idx).
+
+    The id arrays are exactly what ``emb.encode_tokens(cap.tokens, len)``
+    would produce (exact match → ASCII/Unicode lowercase → PAD 0), built
+    either by the C++ tokenizer or the Python reader; loaders slice/pad
+    them instead of re-encoding token strings per use."""
+
+    def __init__(self, lookup, flat, offsets, patched):
+        self._lookup = lookup       # img -> {cap_idx -> row}, last-wins
+        self._flat = flat           # int32[T]
+        self._off = offsets         # int64[rows+1]
+        self._patched = patched     # row -> int32[...] (non-ASCII rows)
+
+    def ids(self, img: str, ci: int) -> np.ndarray:
+        d = self._lookup.get(img)
+        row = None if d is None else d.get(ci)
+        if row is None:
+            raise KeyError(f"{img}#{ci}")   # read_captions-dict parity
+        p = self._patched.get(row)
+        if p is not None:
+            return p
+        return self._flat[self._off[row]:self._off[row + 1]]
+
+
+def _load_caption_ids(path: str, emb: EmbeddingStore) -> _CaptionIds:
+    fast = None
+    try:
+        from icl.native import captions as _nat
+        fast = _nat.parse_captions(path, emb.words_by_row())
+    except ImportError:
+        pass
+    if fast is not None:
+        docs, doc_idx, cap_idx, offsets, ids, flagged = fast
+        lookup: dict[str, dict[int, int]] = {}
+        di, ci_l = doc_idx.tolist(), cap_idx.tolist()
+        for r in range(len(di)):
+            lookup.setdefault(docs[di[r]], {})[ci_l[r]] = r
+        patched = {r: np.fromiter((emb.lookup_id(t) for t in text.split()),
+                                  np.int32)
+                   for r, text in flagged.items()}
+        return _CaptionIds(lookup, ids, offsets, patched)
+    caps = read_captions(path)
+    lookup = {}
+    chunks, offsets = [], [0]
+    for r, cap in enumerate(caps.values()):
+        lookup.setdefault(cap.img_id, {})[cap.cap_idx] = r
+        chunks.append(np.fromiter((emb.lookup_id(t) for t in cap.tokens),
+                                  np.int32, len(cap.tokens)))
+        offsets.append(offsets[-1] + len(cap.tokens))
+    flat = (np.concatenate(chunks) if chunks else np.empty(0, np.int32))
+    return _CaptionIds(lookup, flat, np.asarray(offsets, np.int64), {})
+
+
+def _pad_id_rows(rows: list[np.ndarray], max_len: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Stack ragged id rows into (int32[N, L] zero-padded, int32[N] len) —
+    ``encode_tokens`` semantics: truncate at max_len when given."""
+    L = max((len(r) for r in rows), default=0)
+    if max_len is not None:
+        L = max_len
+    out = np.zeros((len(rows), L), np.int32)
+    lens = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        n = min(len(r), L)
+        out[i, :n] = r[:n]
+        lens[i] = n
+    return out, lens
 
 
 # ---------------------------------------------------------------------------
@@ -356,7 +432,8 @@ def load_relation_dataset(
     grouped = _fast_grouped_rows(feats_path, "pair")
     if grouped is None:
         grouped = _python_grouped_pair_rows(feats_path)
-    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    cap_ids = _load_caption_ids(
+        split_path(data_dir, split, "captions.txt"), emb)
     cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
     mention_rows = _mention_groups(cols)
 
@@ -367,12 +444,8 @@ def load_relation_dataset(
             raise ValueError(f"no mentions for image {img_id} with relation pairs")
         cap, men = cols.cap_idx[sl], cols.mention_idx[sl]
         ucaps = np.unique(cap)
-        cap_toks = [captions[f"{img_id}#{int(ci)}"].tokens for ci in ucaps]
-        L = max(len(t) for t in cap_toks)
-        tokens = np.zeros((len(ucaps), L), dtype=np.int32)
-        tok_len = np.zeros(len(ucaps), dtype=np.int32)
-        for row, toks in enumerate(cap_toks):
-            tokens[row], tok_len[row] = emb.encode_tokens(toks, L)
+        tokens, tok_len = _pad_id_rows(
+            [cap_ids.ids(img_id, int(ci)) for ci in ucaps])
         m_cap = np.searchsorted(ucaps, cap).astype(np.int32)
         lim = tok_len[m_cap] - 1
         m_first = np.minimum(cols.first[sl], lim).astype(np.int32)
@@ -459,7 +532,8 @@ def load_affinity_dataset(
     grouped = _fast_grouped_rows(feats_path, "affinity")
     if grouped is None:
         grouped = _python_grouped_affinity_rows(feats_path)
-    captions = read_captions(split_path(data_dir, split, "captions.txt"))
+    cap_ids = _load_caption_ids(
+        split_path(data_dir, split, "captions.txt"), emb)
     cols = read_mention_columns(split_path(data_dir, split, "mentions.txt"))
     mention_rows = _mention_groups(cols)
     # memory-mapped + lazy per-image views (SURVEY §4.3): feature bytes are
@@ -510,9 +584,10 @@ def load_affinity_dataset(
         phrase_len = np.zeros(M, dtype=np.int32)
         mention_ids = []
         for r, (ci, mi) in enumerate(mention_keys):
-            toks = captions[f"{img_id}#{ci}"].tokens[
-                int(firsts[r]):int(lasts[r]) + 1]
-            phrase_tokens[r], phrase_len[r] = emb.encode_tokens(toks, max_phrase_len)
+            seg = cap_ids.ids(img_id, ci)[int(firsts[r]):int(lasts[r]) + 1]
+            n_tok = min(len(seg), max_phrase_len)
+            phrase_tokens[r, :n_tok] = seg[:n_tok]
+            phrase_len[r] = n_tok
             mention_ids.append(f"doc:{img_id};caption:{ci};mention:{mi}")
         grid_label = np.zeros((M, B), dtype=np.int32)
         grid_valid = np.zeros((M, B), dtype=bool)

@@ -94,6 +94,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.men_fill.restype = None
     lib.men_free.restype = None
     lib.men_free.argtypes = [ctypes.c_void_p]
+    lib.captions_parse.restype = ctypes.c_void_p
+    lib.captions_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    for fn in ("cap_num", "cap_num_docs", "cap_docs_size", "cap_ids_total",
+               "cap_num_flagged", "cap_flagged_bytes"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.cap_fallback.restype = ctypes.c_int32
+    lib.cap_fallback.argtypes = [ctypes.c_void_p]
+    lib.cap_fill.restype = None
+    lib.cap_free.restype = None
+    lib.cap_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
     lib.w2v_load.restype = ctypes.c_void_p
     lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

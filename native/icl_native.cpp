@@ -593,6 +593,181 @@ void men_free(void* h) { delete (MentionCols*)h; }
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// captions.txt tokenizer (SURVEY §3.1 C3/C4).  Line grammar
+// `<imgid>#<capIdx>\t<tok> <tok> ...` parsed straight into vocab-row id
+// arrays: the caller passes the embedding vocabulary ('\n'-joined words in
+// table-row order, row 1 first) and each token resolves exact-match-first,
+// then ASCII-lowercased, else PAD/OOV row 0 — the lookup_id semantics of
+// icl.data.embeddings.  PARITY RULES: any row whose token region contains
+// a byte >= 0x80 is returned RAW instead of encoded (Python str.split()
+// splits on Unicode whitespace and str.lower() is Unicode-aware — only
+// the Python side can encode those rows exactly); any key the strict
+// grammar cannot prove equivalent ('#'-less, non-[0-9] capIdx) sets the
+// fallback flag and the caller re-reads whole-file with read_captions,
+// reproducing its exact errors.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CaptionIds {
+  std::vector<int32_t> cap_idx, doc_idx;
+  std::vector<int64_t> offsets;     // per-row [start, end) into ids
+  std::vector<int32_t> ids;
+  std::string docs;                 // unique img ids, '\0'-joined
+  std::vector<int64_t> doc_offsets;
+  int64_t ndocs = 0;
+  std::vector<int64_t> flagged_rows;   // rows Python must re-encode
+  std::string flagged_buf;             // their raw token bytes, '\0'-joined
+  bool fallback = false;
+};
+
+inline bool ascii_ws(char c) {
+  // the ASCII subset of Python str.split() whitespace ('\n' ends the line)
+  return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+}
+
+}  // namespace
+
+extern "C" {
+
+void* captions_parse(const char* path, const char* vocab) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (size > 0 && fread(&buf[0], 1, size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  // vocab rows start at 1 (row 0 is PAD/OOV)
+  std::unordered_map<std::string, int32_t> vmap;
+  {
+    const char* p = vocab;
+    int32_t row = 1;
+    while (*p) {
+      const char* nl = strchr(p, '\n');
+      size_t len = nl ? (size_t)(nl - p) : strlen(p);
+      vmap.emplace(std::string(p, len), row++);
+      p += len + (nl ? 1 : 0);
+    }
+  }
+
+  auto* d = new CaptionIds();
+  d->offsets.push_back(0);
+  std::unordered_map<std::string, int32_t> doc_map;
+  std::string last_doc, lowered;
+  int32_t last_idx = -1;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le == p || *p == '#') {          // blank / comment line
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    const char* tab = (const char*)memchr(p, '\t', le - p);
+    const char* key_end = tab ? tab : le;      // no tab: empty caption
+    // key = <img>#<cap>, split at the LAST '#' (rpartition)
+    const char* hash = nullptr;
+    for (const char* q = key_end; q > p;)
+      if (*--q == '#') { hash = q; break; }
+    if (!hash || hash == p) { d->fallback = true; break; }
+    const char* cp = hash + 1;
+    int32_t cap_v;
+    bool pad = false;
+    if (!parse_field(cp, key_end, &cap_v, &pad) || cp != key_end) {
+      d->fallback = true;
+      break;
+    }
+    const int doc_len = (int)(hash - p);
+    if (last_idx < 0 || (size_t)doc_len != last_doc.size() ||
+        memcmp(p, last_doc.data(), doc_len) != 0) {
+      last_doc.assign(p, doc_len);
+      auto it = doc_map.find(last_doc);
+      if (it == doc_map.end()) {
+        last_idx = (int32_t)d->ndocs++;
+        doc_map.emplace(last_doc, last_idx);
+        d->doc_offsets.push_back((int64_t)d->docs.size());
+        d->docs.append(p, doc_len);
+        d->docs.push_back('\0');
+      } else {
+        last_idx = it->second;
+      }
+    }
+    const int64_t row = (int64_t)d->cap_idx.size();
+    d->doc_idx.push_back(last_idx);
+    d->cap_idx.push_back(cap_v);
+    const char* t = tab ? tab + 1 : le;
+    bool non_ascii = false;
+    for (const char* q = t; q < le; ++q)
+      if ((unsigned char)*q >= 0x80) { non_ascii = true; break; }
+    if (non_ascii) {
+      d->flagged_rows.push_back(row);
+      d->flagged_buf.append(t, le - t);
+      d->flagged_buf.push_back('\0');
+    } else {
+      while (t < le) {
+        while (t < le && ascii_ws(*t)) ++t;
+        const char* ts = t;
+        while (t < le && !ascii_ws(*t)) ++t;
+        if (t == ts) break;
+        std::string tok(ts, t - ts);
+        auto it = vmap.find(tok);
+        if (it == vmap.end()) {
+          lowered = tok;
+          for (char& c : lowered)
+            if (c >= 'A' && c <= 'Z') c += 'a' - 'A';
+          it = vmap.find(lowered);
+        }
+        d->ids.push_back(it == vmap.end() ? 0 : it->second);
+      }
+    }
+    d->offsets.push_back((int64_t)d->ids.size());
+    p = nl ? nl + 1 : end;
+  }
+  return d;
+}
+
+int64_t cap_num(void* h) { return (int64_t)((CaptionIds*)h)->cap_idx.size(); }
+int32_t cap_fallback(void* h) { return ((CaptionIds*)h)->fallback ? 1 : 0; }
+int64_t cap_num_docs(void* h) { return ((CaptionIds*)h)->ndocs; }
+int64_t cap_docs_size(void* h) {
+  return (int64_t)((CaptionIds*)h)->docs.size();
+}
+int64_t cap_ids_total(void* h) {
+  return (int64_t)((CaptionIds*)h)->ids.size();
+}
+int64_t cap_num_flagged(void* h) {
+  return (int64_t)((CaptionIds*)h)->flagged_rows.size();
+}
+int64_t cap_flagged_bytes(void* h) {
+  return (int64_t)((CaptionIds*)h)->flagged_buf.size();
+}
+
+void cap_fill(void* h, int32_t* cap_idx, int32_t* doc_idx, int64_t* offsets,
+              int32_t* ids, char* docs, int64_t* flagged_rows,
+              char* flagged_buf) {
+  auto* d = (CaptionIds*)h;
+  memcpy(cap_idx, d->cap_idx.data(), d->cap_idx.size() * sizeof(int32_t));
+  memcpy(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
+  memcpy(offsets, d->offsets.data(), d->offsets.size() * sizeof(int64_t));
+  memcpy(ids, d->ids.data(), d->ids.size() * sizeof(int32_t));
+  memcpy(docs, d->docs.data(), d->docs.size());
+  memcpy(flagged_rows, d->flagged_rows.data(),
+         d->flagged_rows.size() * sizeof(int64_t));
+  memcpy(flagged_buf, d->flagged_buf.data(), d->flagged_buf.size());
+}
+
+void cap_free(void* h) { delete (CaptionIds*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // word2vec binary loader (GoogleNews .bin: "V D\n" header, then per word:
 // "<word> " + D little-endian float32).  Equivalent of gensim's Cython
 // reader (SURVEY §3.2 N2).  Optional vocabulary filter: when `filter_words`

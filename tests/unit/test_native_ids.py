@@ -176,6 +176,47 @@ def test_mention_dataset_missing_mention_keyerror(synth_dir):
         load_mention_dataset(synth_dir, "train", "nonvisual", _emb(synth_dir))
 
 
+def test_caption_ids_parity(tmp_path):
+    """Native caption tokenizer ≡ Python read_captions + encode_tokens:
+    exact/lowercase/OOV lookups, non-ASCII rows (re-encoded in Python via
+    the flagged-row path), comment/blank lines, duplicate keys last-wins,
+    and zero-padded caption indices canonicalizing identically."""
+    from icl.data.embeddings import EmbeddingStore
+    from icl.data.pipeline import _load_caption_ids
+    from icl.native import feats as _unused  # ensure lib built
+    import icl.native as native_mod
+
+    emb = EmbeddingStore.from_arrays(
+        ["the", "Dog", "straße", "dog"],
+        np.arange(12, dtype=np.float32).reshape(4, 3))
+    p = tmp_path / "c.txt"
+    p.write_text("a.jpg#0\tThe dog DOG Dog unknownword\n"
+                 "# comment\n\n"
+                 "a.jpg#1\tüber STRASSE straße\n"      # non-ASCII row
+                 "b.jpg#02\tthe the\n"                 # padded cap idx
+                 "b.jpg#2\tdog\n")                     # duplicate key wins
+    fast = _load_caption_ids(str(p), emb)
+    import unittest.mock as mock
+    with mock.patch.object(native_mod, "_lib", None), \
+         mock.patch.object(native_mod, "_load_failed", True):
+        slow = _load_caption_ids(str(p), emb)
+    for img, ci in (("a.jpg", 0), ("a.jpg", 1), ("b.jpg", 2)):
+        np.testing.assert_array_equal(fast.ids(img, ci), slow.ids(img, ci),
+                                      (img, ci))
+    # semantics spot checks: exact > lowercase > PAD
+    assert fast.ids("a.jpg", 0).tolist() == [1, 4, 4, 2, 0]
+    assert fast.ids("b.jpg", 2).tolist() == [4]        # last duplicate wins
+    assert fast.ids("a.jpg", 1).tolist() == slow.ids("a.jpg", 1).tolist()
+    with pytest.raises(KeyError, match="a.jpg#9"):
+        fast.ids("a.jpg", 9)
+    # bad key -> native whole-file fallback -> read_captions' error
+    p.write_text("nokey\tthe\n")
+    from icl.native.captions import parse_captions
+    assert parse_captions(str(p), emb.words_by_row()) is None
+    with pytest.raises(ValueError, match="bad caption key"):
+        _load_caption_ids(str(p), emb)
+
+
 def test_grouping_with_out_of_order_docs(tmp_path):
     """File order ≠ sorted-doc order ≠ first-appearance order: the fast
     grouping must still emit sorted-doc groups with file-order rows and
