@@ -255,12 +255,25 @@ def report_parity(max_diff: float, gate: float | None = None) -> None:
 
 
 def split_vocab(data_dir: str, split: str) -> set[str]:
-    """All words of a split's captions (for embedding-table pruning)."""
+    """All words of a split's captions (for embedding-table pruning).
+
+    Native C++ scan when available (icl/native/captions.py caption_words);
+    falls back to read_captions whole-file on any grammar deviation so the
+    Python reader's exact errors apply — set equality is tested in
+    tests/unit/test_native_ids.py."""
+    path = os.path.join(data_dir, f"{split}.captions.txt")
+    try:
+        from icl.native.captions import caption_words
+
+        words = caption_words(path)
+        if words is not None:
+            return words
+    except ImportError:
+        pass
     from icl.io.captions import read_captions
 
-    words: set[str] = set()
-    for cap in read_captions(os.path.join(data_dir,
-                                          f"{split}.captions.txt")).values():
+    words = set()
+    for cap in read_captions(path).values():
         words.update(cap.tokens)
     return words
 

@@ -96,6 +96,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.men_free.argtypes = [ctypes.c_void_p]
     lib.captions_parse.restype = ctypes.c_void_p
     lib.captions_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.captions_words.restype = ctypes.c_void_p
+    lib.captions_words.argtypes = [ctypes.c_char_p]
     for fn in ("cap_num", "cap_num_docs", "cap_docs_size", "cap_ids_total",
                "cap_num_flagged", "cap_flagged_bytes"):
         getattr(lib, fn).restype = ctypes.c_int64

@@ -9,6 +9,57 @@ import numpy as np
 from icl.native import _load
 
 
+def caption_words(path: str):
+    """Unique caption words via C++ (native captions_words) — the
+    embedding-prune vocabulary of icl.cli._common.split_vocab.  Returns a
+    set[str], or None when native is unavailable or a key deviates from
+    the strict grammar (callers then use the read_captions path for its
+    exact errors).  Rows containing non-ASCII bytes come back raw and are
+    split here with Python's Unicode str.split()."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.captions_words(path.encode())
+    if not handle:
+        raise FileNotFoundError(path)
+    try:
+        if int(lib.cap_fallback(ctypes.c_void_p(handle))):
+            return None
+        ndocs = int(lib.cap_num_docs(ctypes.c_void_p(handle)))
+        docs_size = int(lib.cap_docs_size(ctypes.c_void_p(handle)))
+        nflag = int(lib.cap_num_flagged(ctypes.c_void_p(handle)))
+        flag_bytes = int(lib.cap_flagged_bytes(ctypes.c_void_p(handle)))
+        one32 = np.empty(1, np.int32)
+        offsets = np.empty(1, np.int64)
+        ids1 = np.empty(1, np.int32)
+        docs_buf = ctypes.create_string_buffer(max(docs_size, 1))
+        flag_rows = np.empty(max(nflag, 1), np.int64)
+        flag_buf = ctypes.create_string_buffer(max(flag_bytes, 1))
+        lib.cap_fill(
+            ctypes.c_void_p(handle),
+            one32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            one32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ids1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            docs_buf,
+            flag_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            flag_buf)
+    finally:
+        lib.cap_free(ctypes.c_void_p(handle))
+    words: set[str] = set()
+    if ndocs:
+        words.update(docs_buf.raw[:docs_size].decode("utf-8")
+                     .split("\0")[:ndocs])
+    if nflag:
+        try:
+            texts = flag_buf.raw[:flag_bytes].decode("utf-8").split("\0")
+        except UnicodeDecodeError:
+            return None
+        for t in texts[:nflag]:
+            words.update(t.split())
+    return words
+
+
 def parse_captions(path: str, vocab_words: list[str]):
     """C++ single-pass parse + vocab-row encode of ``captions.txt``
     (native/icl_native.cpp captions_parse).

@@ -15,6 +15,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -309,8 +311,6 @@ int scores_write(const char* path, const char* const* ids, const double* probs,
 // such ids don't round-trip re-serialization and take the exact-bytes
 // override path (the flagged rows' id strings are returned verbatim).
 // ---------------------------------------------------------------------------
-
-#include <unordered_map>
 
 namespace {
 
@@ -733,6 +733,98 @@ void* captions_parse(const char* path, const char* vocab) {
   return d;
 }
 
+// Unique caption words (embedding-prune vocabulary, icl/cli/_common.py
+// split_vocab).  Same grammar/fallback rules as captions_parse; rows with
+// non-ASCII bytes return raw for Python's Unicode split.
+void* captions_words(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (size > 0 && fread(&buf[0], 1, size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* d = new CaptionIds();   // words ride in flagged_buf/docs fields:
+  // docs = '\0'-joined unique words; flagged_buf = raw non-ASCII rows.
+  // Two passes: read_captions is a DICT keyed <img>#<int(cap)> — duplicate
+  // keys collapse last-wins, and words of overwritten lines must NOT enter
+  // the prune vocabulary (they would change the pruned table, and through
+  // the lowercase-OOV fallback, scores).  Pass 1 records the final token
+  // region per canonical key; pass 2 tokenizes only the survivors.
+  std::unordered_map<std::string, std::pair<const char*, const char*>> rows;
+  std::vector<const std::string*> row_order;   // first-seen key order
+  std::string keybuf;
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le == p || *p == '#') {
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    const char* tab = (const char*)memchr(p, '\t', le - p);
+    const char* key_end = tab ? tab : le;
+    const char* hash = nullptr;
+    for (const char* q = key_end; q > p;)
+      if (*--q == '#') { hash = q; break; }
+    int32_t cap_v;
+    bool pad = false;
+    const char* cp = hash ? hash + 1 : key_end;
+    if (!hash || hash == p || !parse_field(cp, key_end, &cap_v, &pad) ||
+        cp != key_end) {
+      d->fallback = true;
+      break;
+    }
+    keybuf.assign(p, hash - p);
+    keybuf.push_back('#');
+    keybuf += std::to_string(cap_v);
+    auto ins = rows.emplace(keybuf,
+                            std::make_pair(tab ? tab + 1 : le, le));
+    if (ins.second) {
+      row_order.push_back(&ins.first->first);
+    } else {
+      ins.first->second = {tab ? tab + 1 : le, le};   // last-wins
+    }
+    p = nl ? nl + 1 : end;
+  }
+  if (!d->fallback) {
+    std::unordered_set<std::string> seen;
+    std::string tok;
+    for (const std::string* key : row_order) {
+      const char* t = rows[*key].first;
+      const char* le = rows[*key].second;
+      bool non_ascii = false;
+      for (const char* q = t; q < le; ++q)
+        if ((unsigned char)*q >= 0x80) { non_ascii = true; break; }
+      if (non_ascii) {
+        d->flagged_buf.append(t, le - t);
+        d->flagged_buf.push_back('\0');
+        d->flagged_rows.push_back(0);   // count only; rows are irrelevant
+        continue;
+      }
+      while (t < le) {
+        while (t < le && ascii_ws(*t)) ++t;
+        const char* ts = t;
+        while (t < le && !ascii_ws(*t)) ++t;
+        if (t == ts) break;
+        tok.assign(ts, t - ts);
+        if (seen.insert(tok).second) {
+          d->docs.append(tok);
+          d->docs.push_back('\0');
+          ++d->ndocs;
+        }
+      }
+    }
+  }
+  return d;
+}
+
 int64_t cap_num(void* h) { return (int64_t)((CaptionIds*)h)->cap_idx.size(); }
 int32_t cap_fallback(void* h) { return ((CaptionIds*)h)->fallback ? 1 : 0; }
 int64_t cap_num_docs(void* h) { return ((CaptionIds*)h)->ndocs; }
@@ -774,8 +866,6 @@ void cap_free(void* h) { delete (CaptionIds*)h; }
 // is non-null (newline-joined list), only matching words are materialized —
 // the gensim-era trick for fitting GoogleNews-scale tables.
 // ---------------------------------------------------------------------------
-
-#include <unordered_set>
 
 namespace {
 

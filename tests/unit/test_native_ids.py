@@ -217,6 +217,28 @@ def test_caption_ids_parity(tmp_path):
         _load_caption_ids(str(p), emb)
 
 
+def test_caption_words_parity(tmp_path):
+    """Native split_vocab scan ≡ read_captions dict walk — including
+    duplicate keys (last-wins: words of overwritten lines must NOT enter
+    the prune vocabulary) and non-ASCII rows."""
+    from icl.native.captions import caption_words
+
+    p = tmp_path / "c.txt"
+    p.write_text("a.jpg#0\talpha beta\n"
+                 "# comment\n"
+                 "b.jpg#1\tgamma Straße\n"
+                 "a.jpg#00\tdelta epsilon\n")   # overwrites a.jpg#0
+    fast = caption_words(str(p))
+    from icl.io.captions import read_captions
+    slow = set()
+    for cap in read_captions(str(p)).values():
+        slow.update(cap.tokens)
+    assert fast == slow
+    assert "alpha" not in fast and "delta" in fast and "Straße" in fast
+    p.write_text("nokey\tthe\n")
+    assert caption_words(str(p)) is None        # grammar fallback
+
+
 def test_grouping_with_out_of_order_docs(tmp_path):
     """File order ≠ sorted-doc order ≠ first-appearance order: the fast
     grouping must still emit sorted-doc groups with file-order rows and
