@@ -32,6 +32,23 @@ struct FeatsData {
   std::string error;
 };
 
+// Universal-newline line iteration (Python text mode splits lines on
+// "\n", "\r\n", AND bare "\r" — a mid-line CR is a line break there, so
+// byte-level parsers must split identically or they merge two Python
+// lines into one; caught by the native-vs-Python grammar fuzz).
+// Sets *line_end to the line's end and returns the start of the next line.
+inline const char* next_line(const char* p, const char* end,
+                             const char** line_end) {
+  const char* q = p;
+  while (q < end && *q != '\n' && *q != '\r') ++q;
+  *line_end = q;
+  if (q < end) {
+    if (*q == '\r' && q + 1 < end && q[1] == '\n') return q + 2;
+    return q + 1;
+  }
+  return end;
+}
+
 // A label/index/value must end at whitespace, '#', or line end — strtod's
 // numeric-prefix acceptance ("1x") must not diverge from Python float().
 inline bool token_ends_ok(const char* next, const char* end) {
@@ -125,15 +142,15 @@ void* feats_parse(const char* path) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    const char* line_end = nl ? nl : end;
+    const char* line_end;
+    const char* nxt = next_line(p, end, &line_end);
     data->id_offsets.push_back(-1);  // provisional; set by parse_line
     int r = parse_line(p, line_end, data);
     if (r != 1) {
       data->id_offsets.pop_back();   // line produced no example
       if (r < 0) ++data->skipped;
     }
-    p = nl ? nl + 1 : end;
+    p = nxt;
   }
   return data;
 }
@@ -208,8 +225,8 @@ void* feats_parse_labels(const char* path) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    const char* line_end = nl ? nl : end;
+    const char* line_end;
+    const char* nxt = next_line(p, end, &line_end);
     const char* q = p;
     while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
     if (q < line_end && *q != '#') {     // not blank / comment-only
@@ -235,7 +252,7 @@ void* feats_parse_labels(const char* path) {
         ++d->skipped;
       }
     }
-    p = nl ? nl + 1 : end;
+    p = nxt;
   }
   return d;
 }
@@ -515,10 +532,10 @@ void* mentions_parse(const char* path) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    const char* le = nl ? nl : end;
+    const char* le;
+    const char* nxt = next_line(p, end, &le);
     if (le == p || *p == '#') {          // blank / comment line
-      p = nl ? nl + 1 : end;
+      p = nxt;
       continue;
     }
     const char* tab1 = (const char*)memchr(p, '\t', le - p);
@@ -565,7 +582,7 @@ void* mentions_parse(const char* path) {
     d->men.push_back(fid[1]);
     d->first.push_back(first_v);
     d->last.push_back(last_v);
-    p = nl ? nl + 1 : end;
+    p = nxt;
   }
   return d;
 }
@@ -664,10 +681,10 @@ void* captions_parse(const char* path, const char* vocab) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    const char* le = nl ? nl : end;
+    const char* le;
+    const char* nxt = next_line(p, end, &le);
     if (le == p || *p == '#') {          // blank / comment line
-      p = nl ? nl + 1 : end;
+      p = nxt;
       continue;
     }
     const char* tab = (const char*)memchr(p, '\t', le - p);
@@ -728,7 +745,7 @@ void* captions_parse(const char* path, const char* vocab) {
       }
     }
     d->offsets.push_back((int64_t)d->ids.size());
-    p = nl ? nl + 1 : end;
+    p = nxt;
   }
   return d;
 }
@@ -762,10 +779,10 @@ void* captions_words(const char* path) {
   const char* p = buf.data();
   const char* end = p + buf.size();
   while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    const char* le = nl ? nl : end;
+    const char* le;
+    const char* nxt = next_line(p, end, &le);
     if (le == p || *p == '#') {
-      p = nl ? nl + 1 : end;
+      p = nxt;
       continue;
     }
     const char* tab = (const char*)memchr(p, '\t', le - p);
@@ -791,7 +808,7 @@ void* captions_words(const char* path) {
     } else {
       ins.first->second = {tab ? tab + 1 : le, le};   // last-wins
     }
-    p = nl ? nl + 1 : end;
+    p = nxt;
   }
   if (!d->fallback) {
     std::unordered_set<std::string> seen;

@@ -296,8 +296,7 @@ def test_mention_columns_fallback_cases(tmp_path):
             ("doc:a.jpg;caption:0;mention:1\n", False),        # no span
             ("doc:bad id\t2,3\n", False),                      # bad grammar
             ("doc:a.jpg;caption:0;mention:1\t+2,3\n", True),   # int('+2')=2
-            ("doc:a.jpg;caption:0;mention:1\t 2,3\n", True),   # int(' 2')=2
-            ("doc:a.jpg;caption:0;mention:1\t2,3\r\n", True)):   # int strips \r
+            ("doc:a.jpg;caption:0;mention:1\t 2,3\n", True)):  # int(' 2')=2
         p = tmp_path / "m.txt"
         p.write_text(ok + bad)
         assert parse_mentions(str(p)) is None, bad  # native punts
@@ -307,6 +306,19 @@ def test_mention_columns_fallback_cases(tmp_path):
         else:
             with pytest.raises(ValueError):
                 read_mention_columns(str(p))
+    # universal newlines: CRLF and bare-CR line breaks parse natively,
+    # identically to Python text mode (which splits lines on \r too)
+    p = tmp_path / "m.txt"
+    p.write_bytes(b"doc:a.jpg;caption:0;mention:1\t2,3\r\n"
+                  b"doc:b.jpg;caption:1;mention:0\t0,1\r"
+                  b"doc:c.jpg;caption:2;mention:2\t1,4\n")
+    got = parse_mentions(str(p))
+    assert got is not None
+    fast = read_mention_columns(str(p))
+    slow = read_mention_columns(str(p), use_native=False)
+    assert fast.docs == slow.docs == ["a.jpg", "b.jpg", "c.jpg"]
+    np.testing.assert_array_equal(fast.first, slow.first)
+    np.testing.assert_array_equal(fast.last, slow.last)
 
 
 def test_duplicate_mention_key_keeps_last(tmp_path):
@@ -329,6 +341,81 @@ def test_duplicate_mention_key_keeps_last(tmp_path):
     assert int(cols.first[sl[ij[0, 1]]]) == 2
     with pytest.raises(KeyError):
         _rows_for_mentions(mkeys, np.array([[0, 0, 0, 9]], np.int32))
+
+
+def test_mentions_and_captions_fuzz_one_sided(tmp_path):
+    """Randomized grammar crosscheck for the native mentions/captions
+    parsers.  Invariant (one-sided, because native may punt
+    conservatively): whenever the native parse RETURNS, its result must
+    equal the Python reader's; whenever the Python reader raises, native
+    must have punted (None) so the fallback reproduces the error."""
+    import random
+
+    from icl.io.captions import read_captions, read_mentions
+    from icl.native.captions import caption_words
+    from icl.native.mentions import parse_mentions
+
+    rng = random.Random(13)
+    pieces = ["doc:", "caption:", "mention:", ";", "#", "\t", ",", " ",
+              "0", "7", "07", "a.jpg", "", "x y", "x", ":", "12", "-1",
+              "+3", "1_0", "\r", "word", "Wo", "2,3"]
+    lines = ["".join(rng.choice(pieces) for _ in range(rng.randint(1, 8)))
+             for _ in range(1200)]
+    lines += ["doc:a.jpg;caption:0;mention:1\t2,3",
+              "doc:a.jpg;caption:0;mention:1\t2,3\tsome text",
+              "a.jpg#0\tThe dog", "a.jpg#0\t", "a.jpg#0", "b#1\tx y z"]
+
+    for ln in lines:
+        p = tmp_path / "f.txt"
+        p.write_text(ln + "\n")
+        # mentions
+        try:
+            want = read_mentions(str(p))
+        except ValueError:
+            want = None
+        got = parse_mentions(str(p))
+        if want is None:
+            assert got is None, ("mentions", ln)
+        elif got is not None:
+            docs, doc_idx, cap, men, first, last = got
+            assert len(cap) == len(want), ("mentions", ln)
+            for i, m in enumerate(want):
+                assert (docs[doc_idx[i]], cap[i], men[i], first[i],
+                        last[i]) == (m.img_id, m.cap_idx, m.mention_idx,
+                                     m.first, m.last), ("mentions", ln)
+        # caption words
+        try:
+            pw = set()
+            for c in read_captions(str(p)).values():
+                pw.update(c.tokens)
+        except ValueError:
+            pw = None
+        gw = caption_words(str(p))
+        if pw is None:
+            assert gw is None, ("captions", ln)
+        elif gw is not None:
+            assert gw == pw, ("captions", ln)
+
+
+def test_feats_universal_newlines(tmp_path):
+    """A bare CR is a line break in Python text mode: the C++ feats
+    parsers must split identically (pre-fix, '1 2:3 # a\\r0 4:5 # b'
+    parsed as ONE example with a corrupted id)."""
+    from icl.io.feats import read_feats, read_feats_labels
+
+    p = tmp_path / "t.feats"
+    p.write_bytes(b"1 2:3 # doc:a;caption:0;mention:1\r"
+                  b"0 4:5 # doc:b;caption:1;mention:0\r\n"
+                  b"2 1:1 # doc:c;caption:2;mention:2\n")
+    ids, labels = read_feats_labels(str(p))                  # native
+    ids_py, labels_py = read_feats_labels(str(p), use_native=False)
+    assert ids == ids_py == ["doc:a;caption:0;mention:1",
+                             "doc:b;caption:1;mention:0",
+                             "doc:c;caption:2;mention:2"]
+    np.testing.assert_array_equal(labels, labels_py)
+    full = read_feats(str(p))
+    assert [e.example_id for e in full] == ids
+    assert [e.label for e in full] == [1.0, 0.0, 2.0]
 
 
 def test_bad_id_falls_back_to_python_error(synth_dir):
