@@ -63,6 +63,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                "feats_id_buffer_size", "feats_num_skipped"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("feats_needs_python", "featsl_needs_python"):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.feats_fill.restype = None
     lib.feats_free.restype = None
     lib.feats_free.argtypes = [ctypes.c_void_p]

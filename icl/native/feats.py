@@ -26,6 +26,8 @@ def parse_feats_file(path: str):
     if not handle:
         raise FileNotFoundError(path)
     try:
+        if int(lib.feats_needs_python(ctypes.c_void_p(handle))):
+            return None   # non-ASCII could change tokenization — Python path
         n = lib.feats_num_examples(handle)
         nnz = lib.feats_num_entries(handle)
         idlen = lib.feats_id_buffer_size(handle)
@@ -71,6 +73,8 @@ def parse_feats_labels(path: str):
     if not handle:
         raise FileNotFoundError(path)
     try:
+        if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):
+            return None   # non-ASCII could change tokenization — Python path
         n = int(lib.featsl_num(handle))
         idlen = int(lib.featsl_id_buffer_size(handle))
         _warn_skipped(path, int(lib.featsl_num_skipped(handle)))
@@ -124,6 +128,8 @@ def parse_feats_ids(path: str, kind: str):
         raise FileNotFoundError(path)
     table = None
     try:
+        if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):
+            return None   # non-ASCII could change tokenization — Python path
         n = int(lib.featsl_num(handle))
         table = lib.featsl_parse_ids(ctypes.c_void_p(handle),
                                      ctypes.c_int32(knum))

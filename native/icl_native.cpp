@@ -29,6 +29,7 @@ struct FeatsData {
   std::string id_buffer;             // ids concatenated with '\0'
   std::vector<int64_t> id_offsets;   // size n_examples into id_buffer
   int64_t skipped = 0;               // malformed lines dropped whole
+  bool needs_python = false;         // non-ASCII could change tokenization
   std::string error;
 };
 
@@ -53,7 +54,21 @@ inline const char* next_line(const char* p, const char* end,
 // numeric-prefix acceptance ("1x") must not diverge from Python float().
 inline bool token_ends_ok(const char* next, const char* end) {
   return next >= end || *next == ' ' || *next == '\t' || *next == '\r' ||
-         *next == '\n' || *next == '#';
+         *next == '\n' || *next == '\v' || *next == '\f' || *next == '#';
+}
+
+// Python str.strip()/split() whitespace, ASCII subset (line breaks cannot
+// occur within a next_line()-split line).  Any NON-ASCII byte that could
+// change tokenization (Unicode whitespace/digits) routes the whole file
+// to the Python parser via the needs_python flag instead.
+inline bool py_ws(char c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+}
+
+inline bool has_high_byte(const char* p, const char* end) {
+  for (; p < end; ++p)
+    if ((unsigned char)*p >= 0x80) return true;
+  return false;
 }
 
 // strtod accepts C-only grammar Python float() rejects — hex floats
@@ -69,7 +84,7 @@ inline bool hex_prefixed(const char* p) {
 // parser, which skips any line whose label or idx:val tokens fail to parse,
 // so behavior cannot differ by whether the .so built).
 int parse_line(const char* p, const char* end, FeatsData* out) {
-  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  while (p < end && py_ws(*p)) ++p;
   if (p >= end || *p == '#' || *p == '\n') return 0;
 
   char* next = nullptr;
@@ -81,15 +96,17 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
   const size_t n0 = out->indices.size();
   out->labels.push_back(label);
   while (true) {
-    while (p < end && (*p == ' ' || *p == '\t')) ++p;
-    if (p >= end || *p == '\n' || *p == '\r') break;
+    while (p < end && py_ws(*p)) ++p;
+    if (p >= end) break;
     if (*p == '#') {  // trailing id comment
       ++p;
-      while (p < end && *p == ' ') ++p;
+      while (p < end && py_ws(*p)) ++p;
       const char* id_start = p;
-      const char* id_end = p;
-      while (id_end < end && *id_end != '\n' && *id_end != '\r') ++id_end;
-      while (id_end > id_start && id_end[-1] == ' ') --id_end;
+      const char* id_end = end;
+      while (id_end > id_start && py_ws(id_end[-1])) --id_end;
+      if ((id_start < id_end && (unsigned char)*id_start >= 0x80) ||
+          (id_start < id_end && (unsigned char)id_end[-1] >= 0x80))
+        out->needs_python = true;   // Unicode-ws id padding: Python strips
       out->id_offsets.back() = (int64_t)out->id_buffer.size();
       out->id_buffer.append(id_start, id_end - id_start);
       out->id_buffer.push_back('\0');
@@ -148,7 +165,10 @@ void* feats_parse(const char* path) {
     int r = parse_line(p, line_end, data);
     if (r != 1) {
       data->id_offsets.pop_back();   // line produced no example
-      if (r < 0) ++data->skipped;
+      if (r < 0) {
+        ++data->skipped;
+        if (has_high_byte(p, line_end)) data->needs_python = true;
+      }
     }
     p = nxt;
   }
@@ -169,6 +189,12 @@ int64_t feats_id_buffer_size(void* h) {
 
 int64_t feats_num_skipped(void* h) {
   return ((FeatsData*)h)->skipped;
+}
+
+// 1 when non-ASCII bytes could make tokenization differ from Python
+// (Unicode whitespace/digits): callers re-parse with the Python reader.
+int32_t feats_needs_python(void* h) {
+  return ((FeatsData*)h)->needs_python ? 1 : 0;
 }
 
 // Copies parsed columns into caller-allocated buffers.
@@ -204,6 +230,7 @@ struct FeatsLabels {
   std::string id_buffer;            // ids concatenated with '\0'
   std::vector<int64_t> id_offsets;  // -1 when a line carried no id comment
   int64_t skipped = 0;              // malformed lines dropped whole
+  bool needs_python = false;        // non-ASCII could change tokenization
 };
 
 }  // namespace
@@ -228,7 +255,7 @@ void* feats_parse_labels(const char* path) {
     const char* line_end;
     const char* nxt = next_line(p, end, &line_end);
     const char* q = p;
-    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    while (q < line_end && py_ws(*q)) ++q;
     if (q < line_end && *q != '#') {     // not blank / comment-only
       char* next = nullptr;
       double label = (hex_prefixed(q) ? (next = (char*)q, 0.0)
@@ -238,10 +265,12 @@ void* feats_parse_labels(const char* path) {
         const char* hash = (const char*)memchr(q, '#', line_end - q);
         if (hash) {
           ++hash;
-          while (hash < line_end && *hash == ' ') ++hash;
+          while (hash < line_end && py_ws(*hash)) ++hash;
           const char* id_end = line_end;
-          while (id_end > hash &&
-                 (id_end[-1] == ' ' || id_end[-1] == '\r')) --id_end;
+          while (id_end > hash && py_ws(id_end[-1])) --id_end;
+          if (hash < id_end && ((unsigned char)*hash >= 0x80 ||
+                                (unsigned char)id_end[-1] >= 0x80))
+            d->needs_python = true;  // Unicode-ws id padding: Python strips
           d->id_offsets.push_back((int64_t)d->id_buffer.size());
           d->id_buffer.append(hash, id_end - hash);
           d->id_buffer.push_back('\0');
@@ -250,6 +279,7 @@ void* feats_parse_labels(const char* path) {
         }
       } else {
         ++d->skipped;
+        if (has_high_byte(q, line_end)) d->needs_python = true;
       }
     }
     p = nxt;
@@ -263,6 +293,10 @@ int64_t featsl_num(void* h) {
 
 int64_t featsl_num_skipped(void* h) {
   return ((FeatsLabels*)h)->skipped;
+}
+
+int32_t featsl_needs_python(void* h) {
+  return ((FeatsLabels*)h)->needs_python ? 1 : 0;
 }
 
 int64_t featsl_id_buffer_size(void* h) {

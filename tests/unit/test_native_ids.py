@@ -397,6 +397,34 @@ def test_mentions_and_captions_fuzz_one_sided(tmp_path):
             assert gw == pw, ("captions", ln)
 
 
+def test_feats_labels_raw_fuzz(tmp_path):
+    """Random raw lines through both feats label scanners: the native path
+    has NO fallback mechanism, so (ids, labels) must match the Python
+    parser exactly on arbitrary garbage — line keeping, skipping, comment
+    handling, and newline semantics included."""
+    import random
+
+    from icl.io.feats import read_feats_labels
+
+    rng = random.Random(29)
+    pieces = ["1", "0.5", "-2", "nan", "1e3", "0x1A", "1_0", "#", " ",
+              "\t", ":", "2:3", "abc", "doc:a;m:1", "\r", "", "99999999999",
+              "3:", ":4", "+", "1.5e", "# id with spaces ", "\v", "\f",
+              " ", "٣", "Inf"]
+    for trial in range(400):
+        content = ""
+        for _ in range(rng.randint(1, 6)):
+            content += "".join(rng.choice(pieces)
+                               for _ in range(rng.randint(0, 6)))
+            content += rng.choice(["\n", "\r\n", "\r", "\n"])
+        p = tmp_path / "f.feats"
+        p.write_text(content, newline="")   # keep exact bytes
+        ids_n, lab_n = read_feats_labels(str(p), use_native=True)
+        ids_p, lab_p = read_feats_labels(str(p), use_native=False)
+        assert ids_n == ids_p, (trial, content)
+        np.testing.assert_array_equal(lab_n, lab_p, str((trial, content)))
+
+
 def test_feats_universal_newlines(tmp_path):
     """A bare CR is a line break in Python text mode: the C++ feats
     parsers must split identically (pre-fix, '1 2:3 # a\\r0 4:5 # b'
