@@ -454,7 +454,13 @@ def main():
                 "instead (tools/profile_train.py). Rates also vary a few "
                 "percent across sessions with relay conditions — compare "
                 "numbers measured the same day (the table above is "
-                "regenerated in one run).\n\n"
+                "regenerated in one run). HOST-side timings (dataset load, "
+                "batch assembly) carry a larger caveat: the build/bench "
+                "host is a single burst-throttled vCPU measuring up to ~3x "
+                "slower for the same work when its CPU credit is exhausted "
+                "(a 20M-element np.diff measured 0.06-4.0 s across "
+                "consecutive runs) — the scale-table load walls are from a "
+                "full-credit window, and device rates are unaffected.\n\n"
                 "## Parity\n\n"
                 "\"Bit-compatible\" is operationalized per SURVEY §7.3: "
                 "bitwise-deterministic .scores across runs with fixed "

@@ -234,24 +234,106 @@ def _check_boxes(data_dir: str, split: str, rep: Report):
     return by_img
 
 
+def _check_scores(path: str, task: str | None, rep: Report) -> None:
+    """Lint a `.scores` file against the §6.2 contract: line format with
+    6-decimal probabilities, class count per task, probability sanity,
+    duplicate ids, meta-sidecar consistency."""
+    import json as _json
+    import re
+
+    from icl.io.scores import read_scores
+
+    try:
+        ids, probs = read_scores(path)
+    except FileNotFoundError:
+        rep.error(f"{path}: missing")
+        return
+    except ValueError as e:
+        rep.error(f"{path}: {e}")
+        return
+    ncols = probs.shape[1] if probs.size else 0
+    if task and task in LABEL_CLASSES and ncols \
+            and ncols != LABEL_CLASSES[task]:
+        rep.error(f"{path}: {ncols} probability column(s), but {task} has "
+                  f"{LABEL_CLASSES[task]} classes")
+    if probs.size:
+        bad_range = int(((probs < 0) | (probs > 1)).any(axis=1).sum())
+        if bad_range:
+            rep.error(f"{path}: {bad_range} row(s) with probabilities "
+                      "outside [0, 1]")
+        sums = probs.sum(axis=1)
+        off = int((abs(sums - 1.0) > 5e-3).sum())
+        if off:
+            rep.warn(f"{path}: {off} row(s) whose probabilities do not sum "
+                     "to 1 (max |sum-1| = %.3g)" % float(abs(sums - 1).max()))
+    dups = len(ids) - len(set(ids))
+    if dups:
+        rep.warn(f"{path}: {dups} duplicate example id(s)")
+    # byte-format lint: every probability field is %.6f (a foreign writer
+    # with a different precision would break bitwise-diffing workflows)
+    prob_re = re.compile(r"\d+\.\d{6}$")
+    misformatted = 0
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            for field in line.split(",")[1:]:
+                if not prob_re.match(field):
+                    misformatted += 1
+                    break
+    if misformatted:
+        rep.warn(f"{path}: {misformatted} line(s) whose probability fields "
+                 "are not 6-decimal fixed format")
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        try:
+            meta = _json.load(open(meta_path))
+        except ValueError as e:
+            rep.error(f"{meta_path}: bad json: {e}")
+            meta = None
+        if meta:
+            order = meta.get("class_order")
+            if order is not None and ncols and len(order) != ncols:
+                rep.error(f"{meta_path}: class_order has {len(order)} "
+                          f"entries but the file has {ncols} columns")
+    rep.info(f"{path}: {len(ids)} rows × {ncols} classes")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(
         prog="icl-check",
         description="Validate a data directory against the §6.1 contracts "
-                    "(grammar + cross-file referential integrity).",
+                    "(grammar + cross-file referential integrity), or a "
+                    ".scores file against §6.2 (--scores).",
         allow_abbrev=False)
-    p.add_argument("--data_dir", required=True)
+    p.add_argument("--data_dir", required=False, default=None)
     p.add_argument("--data_split", default="train",
                    choices=["train", "dev", "test"])
     p.add_argument("--task", default="all",
                    choices=["all"] + sorted(LABEL_CLASSES))
     p.add_argument("--strict", action="store_true",
                    help="warnings also fail the check (exit 1)")
+    p.add_argument("--scores", default=None,
+                   help="lint a .scores file (§6.2 format, class count for "
+                        "--task, probability sanity, meta sidecar) instead "
+                        "of a data directory")
     args = p.parse_args(argv)
 
     from icl.data.pipeline import split_path
 
     rep = Report()
+    if args.scores:
+        _check_scores(args.scores,
+                      None if args.task == "all" else args.task, rep)
+        failed = rep.errors or (args.strict and rep.warnings)
+        print(f"icl-check: {rep.errors} error(s), {rep.warnings} "
+              f"warning(s) — {'FAIL' if failed else 'OK'}")
+        if failed:
+            raise SystemExit(1)
+        return
+    if not args.data_dir:
+        p.error("one of --data_dir or --scores is required")
     caps = _check_captions(
         split_path(args.data_dir, args.data_split, "captions.txt"), rep)
     mention_keys = _check_mentions(

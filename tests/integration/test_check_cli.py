@@ -65,6 +65,40 @@ def test_strict_promotes_warnings(synth_dir, capsys):
         _run(["--data_dir", synth_dir, "--task", "nonvisual", "--strict"])
 
 
+def test_scores_lint_clean_and_bad(tmp_path, capsys):
+    from icl.io.scores import write_scores
+
+    p = str(tmp_path / "x.scores")
+    write_scores(p, ["a", "b"], [[0.25, 0.75], [0.5, 0.5]],
+                 class_order=["visual", "nonvisual"])
+    _run(["--scores", p, "--task", "nonvisual", "--strict"])
+    assert "0 error(s), 0 warning(s) — OK" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.scores"
+    bad.write_text("a,0.5,0.6\nb,0.40,0.612345\na,1.200000,-0.200000\n")
+    with pytest.raises(SystemExit):
+        _run(["--scores", str(bad), "--task", "nonvisual"])
+    out = capsys.readouterr().out
+    assert "outside [0, 1]" in out
+    assert "duplicate example id" in out
+    assert "not 6-decimal fixed format" in out
+
+
+def test_scores_lint_class_count_and_meta(tmp_path, capsys):
+    import json
+
+    p = tmp_path / "x.scores"
+    p.write_text("a,0.300000,0.700000\n")
+    with pytest.raises(SystemExit):
+        _run(["--scores", str(p), "--task", "relation"])   # wants 4 classes
+    assert "but relation has 4 classes" in capsys.readouterr().out
+    (tmp_path / "x.scores.meta.json").write_text(
+        json.dumps({"class_order": ["a", "b", "c"]}))
+    with pytest.raises(SystemExit):
+        _run(["--scores", str(p), "--task", "nonvisual"])
+    assert "3 entries but the file has 2 columns" in capsys.readouterr().out
+
+
 def test_bad_grammar_and_clipped_span(synth_dir, capsys):
     with open(f"{synth_dir}/train.cardinality.feats", "a") as f:
         f.write("1 2:1 # not-an-id\n")
