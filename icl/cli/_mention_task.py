@@ -131,17 +131,20 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
             probs_by_id[eid] = p[row]
 
     # dispatch-ahead pipeline (see icl/cli/relation.py)
-    pending = None
-    for _, b in bz.batches(ds.lengths, arrays, ds.ids):
+    import collections
+
+    from icl.train.loop import prefetch
+    pending: collections.deque = collections.deque()
+    for _, b in prefetch(bz.batches(ds.lengths, arrays, ds.ids), depth=4):
         dev = predict(state.params, table,
                       *shard_batch((jnp.asarray(b.arrays["token_ids"]),
                                     jnp.asarray(b.arrays["lengths"])),
                                    rt.mesh))
-        if pending is not None:
-            _consume(*pending)
-        pending = (b, dev)
-    if pending is not None:
-        _consume(*pending)
+        pending.append((b, dev))
+        if len(pending) > 3:
+            _consume(*pending.popleft())
+    while pending:
+        _consume(*pending.popleft())
     probs = np.stack([probs_by_id[eid] for eid in ds.ids])
     if args.oracle_parity or args.oracle_parity_full:
         from icl.cli._common import report_parity

@@ -188,21 +188,25 @@ def main(argv=None) -> None:
             sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
                          AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
 
-    # dispatch-ahead pipeline (see icl/cli/relation.py): overlap the
-    # host↔device roundtrip with the next batch's compute
-    pending = None
-    for b in batcher.batches(ds):
+    # dispatch-ahead pipeline (see icl/cli/relation.py): batch assembly in
+    # a prefetch thread + several predicts in flight before the oldest
+    # result is pulled to host
+    import collections
+
+    from icl.train.loop import prefetch
+    pending: collections.deque = collections.deque()
+    for b in prefetch(batcher.batches(ds), depth=4):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
                          rt.mesh)
         logits_dev = logits_fn(state.params, table, jb)
         dev_probs = jax.nn.softmax(logits_dev, axis=-1)
         dev_ranks = (rank_fn(logits_dev, jb["box_valid"])
                      if args.rank_file else None)
-        if pending is not None:
-            _consume(*pending)
-        pending = (b, dev_probs, dev_ranks)
-    if pending is not None:
-        _consume(*pending)
+        pending.append((b, dev_probs, dev_ranks))
+        if len(pending) > 3:
+            _consume(*pending.popleft())
+    while pending:
+        _consume(*pending.popleft())
     if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity

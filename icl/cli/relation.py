@@ -172,20 +172,23 @@ def main(argv=None) -> None:
             sd.increment(RELATION_CLASSES[int(labels[s, pi])],
                          RELATION_CLASSES[int(probs[s, pi].argmax())])
 
-    # dispatch-ahead pipeline: the next batch's predict is enqueued before
-    # the previous result is pulled to host, so the host↔device roundtrip
-    # (≈30 ms through a relay) overlaps device compute instead of
-    # serializing with it
-    pending = None
-    for b in batcher.batches(ds):
+    # dispatch-ahead pipeline: batch assembly runs in a prefetch thread and
+    # several predicts stay in flight before the oldest result is pulled to
+    # host, so the host↔device roundtrip (≈30 ms through a relay, µs
+    # co-located) overlaps device compute AND host padding instead of
+    # serializing with them
+    import collections
+
+    from icl.train.loop import prefetch
+    pending: collections.deque = collections.deque()
+    for b in prefetch(batcher.batches(ds), depth=4):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
                          rt.mesh)
-        dev = predict(state.params, table, jb)
-        if pending is not None:
-            _consume(*pending)
-        pending = (b, dev)
-    if pending is not None:
-        _consume(*pending)
+        pending.append((b, predict(state.params, table, jb)))
+        if len(pending) > 3:
+            _consume(*pending.popleft())
+    while pending:
+        _consume(*pending.popleft())
     if args.oracle_parity or args.oracle_parity_full:
         import jax
         from icl.cli._common import report_parity
