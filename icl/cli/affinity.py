@@ -169,16 +169,27 @@ def main(argv=None) -> None:
     sd = ScoreDict(labels=list(AFFINITY_CLASSES))
     from icl.models.affinity import rank_boxes
     rank_by_id: dict[str, float] = {}
-    rank_fn = jax.jit(rank_boxes)
+
+    want_rank = bool(args.rank_file)
 
     @jax.jit
-    def logits_fn(p, t, bb):
-        return model.apply({"params": p}, t, bb, deterministic=True)
+    def packed_fn(p, t, bb):
+        """One fused device program → ONE host fetch per batch: softmax
+        probs and (when ranking) the per-image box-ranking distribution
+        ride in a single [I,M,B,2(+1)] array — the separate rank fetch
+        used to cost a second full relay roundtrip per batch."""
+        logits = model.apply({"params": p}, t, bb, deterministic=True)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if not want_rank:
+            return probs
+        rank = rank_boxes(logits, bb["box_valid"])
+        return jnp.concatenate([probs, rank[..., None]], axis=-1)
 
-    def _consume(b, dev_probs, dev_ranks):
-        probs = np.asarray(dev_probs)                         # [I,M,B,2]
+    def _consume(b, dev_packed):
+        packed = np.asarray(dev_packed)               # [I,M,B,2(+rank)]
+        probs = packed[..., :2]
         B = probs.shape[2]
-        ranks = np.asarray(dev_ranks) if dev_ranks is not None else None
+        ranks = packed[..., 2] if want_rank else None
         labels = b.arrays["grid_label"]
         for (s, cell, cid) in b.id_index:
             r, c = divmod(cell, B)
@@ -198,11 +209,7 @@ def main(argv=None) -> None:
     for b in prefetch(batcher.batches(ds), depth=4):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
                          rt.mesh)
-        logits_dev = logits_fn(state.params, table, jb)
-        dev_probs = jax.nn.softmax(logits_dev, axis=-1)
-        dev_ranks = (rank_fn(logits_dev, jb["box_valid"])
-                     if args.rank_file else None)
-        pending.append((b, dev_probs, dev_ranks))
+        pending.append((b, packed_fn(state.params, table, jb)))
         if len(pending) > 3:
             _consume(*pending.popleft())
     while pending:
