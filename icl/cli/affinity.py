@@ -187,17 +187,23 @@ def main(argv=None) -> None:
 
     def _consume(b, dev_packed):
         packed = np.asarray(dev_packed)               # [I,M,B,2(+rank)]
-        probs = packed[..., :2]
-        B = probs.shape[2]
-        ranks = packed[..., 2] if want_rank else None
+        B = packed.shape[2]
+        # one fancy-index copy per batch (per-cell views would pin every
+        # batch's packed array for the whole sweep — see relation.py)
+        idx = np.asarray([(s, *divmod(cell, B))
+                          for s, cell, _ in b.id_index], np.int64
+                         ).reshape(-1, 3)
+        sel = packed[idx[:, 0], idx[:, 1], idx[:, 2]]
+        preds = sel[:, :2].argmax(axis=1) if args.eval else None
         labels = b.arrays["grid_label"]
-        for (s, cell, cid) in b.id_index:
-            r, c = divmod(cell, B)
-            probs_by_id[cid] = probs[s, r, c]
-            if ranks is not None:
-                rank_by_id[cid] = float(ranks[s, r, c])
-            sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
-                         AFFINITY_CLASSES[int(probs[s, r, c].argmax())])
+        for k, (s, cell, cid) in enumerate(b.id_index):
+            probs_by_id[cid] = sel[k, :2]
+            if want_rank:
+                rank_by_id[cid] = float(sel[k, 2])
+            if preds is not None:   # ScoreDict only feeds the --eval table
+                r, c = idx[k, 1], idx[k, 2]
+                sd.increment(AFFINITY_CLASSES[int(labels[s, r, c])],
+                             AFFINITY_CLASSES[int(preds[k])])
 
     # dispatch-ahead pipeline (see icl/cli/relation.py): batch assembly in
     # a prefetch thread + several predicts in flight before the oldest

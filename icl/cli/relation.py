@@ -166,11 +166,19 @@ def main(argv=None) -> None:
 
     def _consume(b, dev_probs):
         probs = np.asarray(dev_probs)
+        # one fancy-index copy per batch: per-row views (probs[s, pi])
+        # would pin every batch's full probs array for the whole sweep
+        # (~0.4 GB at 50k images)
+        idx = np.asarray([(s, pi) for s, pi, _ in b.id_index], np.int64
+                         ).reshape(-1, 2)
+        sel = probs[idx[:, 0], idx[:, 1]]
+        preds = sel.argmax(axis=1) if args.eval else None
         labels = b.arrays["pair_label"]
-        for (s, pi, pid) in b.id_index:
-            probs_by_id[pid] = probs[s, pi]
-            sd.increment(RELATION_CLASSES[int(labels[s, pi])],
-                         RELATION_CLASSES[int(probs[s, pi].argmax())])
+        for k, (s, pi, pid) in enumerate(b.id_index):
+            probs_by_id[pid] = sel[k]
+            if preds is not None:   # ScoreDict only feeds the --eval table
+                sd.increment(RELATION_CLASSES[int(labels[s, pi])],
+                             RELATION_CLASSES[int(preds[k])])
 
     # dispatch-ahead pipeline: batch assembly runs in a prefetch thread and
     # several predicts stay in flight before the oldest result is pulled to
