@@ -69,6 +69,11 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_split", default="dev")
     p.add_argument("--eval_batches", type=int, default=16,
                    help="max eval batches per --eval_every hook")
+    p.add_argument("--early_stop", type=int, default=0,
+                   help="stop training once the --eval_every dev loss has "
+                        "not improved for N consecutive evals (the Keras-"
+                        "era EarlyStopping monitoring). 0: off; requires "
+                        "--eval_every")
     p.add_argument("--compute_dtype", default="f32",
                    choices=["f32", "bf16"],
                    help="model activation dtype (relation/affinity). bf16 "
@@ -178,6 +183,8 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
         p.set_defaults(**defaults)
     args = p.parse_args(argv)
     args.buckets = buckets
+    if getattr(args, "early_stop", 0) and not getattr(args, "eval_every", 0):
+        p.error("--early_stop monitors the dev eval — set --eval_every too")
     return args
 
 

@@ -102,7 +102,8 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                          ckpt_every=args.ckpt_every,
                          profile_dir=args.profile_dir, resume=args.resume,
                          metrics_path=args.metrics_file, seed=args.seed,
-                         eval_every=args.eval_every, mesh=rt.mesh)
+                         eval_every=args.eval_every,
+                         early_stop=args.early_stop, mesh=rt.mesh)
         state = run_training(state, lambda s, *a: step(s, table, *a),
                              make_batches, cfg, eval_fn=eval_fn)
         if is_main_process():

@@ -40,6 +40,10 @@ class LoopConfig:
     metrics_path: str | None = None
     seed: int = 0
     eval_every: int = 0           # steps between dev evals (0: off)
+    early_stop: int = 0           # stop after N consecutive evals without
+                                  # eval-loss improvement (0: off; needs
+                                  # eval_every — the Keras EarlyStopping
+                                  # monitoring the reference era relied on)
     mesh: object | None = None    # re-places restored state (multi-process
                                   # restores yield process-local arrays)
 
@@ -160,6 +164,9 @@ def run_training(state: TrainState, step_fn: Callable,
         # mirror keeps the dispatch queue full; device work is only forced
         # at log/eval/checkpoint points.
         step = int(state.step)
+        best_eval = float("inf")
+        stale_evals = 0
+        stop_early = False
         for epoch in range(start_epoch, cfg.epochs):
             epoch_rng = np.random.default_rng(
                 np.random.SeedSequence([cfg.seed, epoch]))
@@ -207,9 +214,24 @@ def run_training(state: TrainState, step_fn: Callable,
                              **{f"eval_{k}": v for k, v in ev.items()}})
                             + "\n")
                         metrics_f.flush()
+                    if cfg.early_stop:
+                        if ev.get("loss", float("inf")) < best_eval:
+                            best_eval, stale_evals = ev["loss"], 0
+                        else:
+                            stale_evals += 1
+                            if stale_evals >= cfg.early_stop:
+                                LOG.info(
+                                    "early stop at step %d: eval loss has "
+                                    "not improved for %d eval(s) "
+                                    "(best %.4f)", step, stale_evals,
+                                    best_eval)
+                                stop_early = True
+                                break
                 if ckpt and cfg.ckpt_every and step % cfg.ckpt_every == 0:
                     ckpt.save(state, epoch=epoch,
                               batch_in_epoch=batch_in_epoch)
+            if stop_early:
+                break
         if ckpt:
             # end-of-training marker: resume would start past the last epoch
             # (force: a periodic save may already exist at this exact step)
