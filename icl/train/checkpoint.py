@@ -74,6 +74,14 @@ class Checkpointer:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        return list(self._mgr.all_steps() or [])
+
+    def delete(self, step: int) -> None:
+        """Drop one step directory (used to prune the stale tail past the
+        best-eval step when --early_stop restores best weights)."""
+        self._mgr.delete(step)
+
     def restore(self, state: TrainState) -> TrainState:
         """Restore latest into the (freshly-initialized) state skeleton."""
         state, _, _ = self.restore_with_position(state)

@@ -165,6 +165,7 @@ def run_training(state: TrainState, step_fn: Callable,
         # at log/eval/checkpoint points.
         step = int(state.step)
         best_eval = float("inf")
+        best_state = None      # host copy of the best-eval state
         stale_evals = 0
         stop_early = False
         for epoch in range(start_epoch, cfg.epochs):
@@ -217,6 +218,9 @@ def run_training(state: TrainState, step_fn: Callable,
                     if cfg.early_stop:
                         if ev.get("loss", float("inf")) < best_eval:
                             best_eval, stale_evals = ev["loss"], 0
+                            # Keras restore_best_weights: a host copy, not
+                            # a checkpoint — improvements can be frequent
+                            best_state = jax.tree.map(np.asarray, state)
                         else:
                             stale_evals += 1
                             if stale_evals >= cfg.early_stop:
@@ -232,7 +236,22 @@ def run_training(state: TrainState, step_fn: Callable,
                               batch_in_epoch=batch_in_epoch)
             if stop_early:
                 break
+        if stop_early and best_state is not None:
+            # restore_best_weights: the state at the best dev loss, not the
+            # stale-by-N-evals tail the stop condition just rejected
+            LOG.info("early stop: restoring best-eval state (step %d, "
+                     "loss %.4f)", int(best_state.step), best_eval)
+            state = best_state
+            if cfg.mesh is not None:
+                state = replicate(state, cfg.mesh)
         if ckpt:
+            if stop_early and best_state is not None:
+                # prune checkpoints past the best step — otherwise predict
+                # and resume would pick the newer (worse) latest_step
+                ckpt.wait()
+                for s_ in ckpt.all_steps():
+                    if s_ > int(state.step):
+                        ckpt.delete(s_)
             # end-of-training marker: resume would start past the last epoch
             # (force: a periodic save may already exist at this exact step)
             ckpt.save(state, wait=True, epoch=cfg.epochs, batch_in_epoch=0,
