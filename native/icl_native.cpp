@@ -74,6 +74,12 @@ inline bool has_high_byte(const char* p, const char* end) {
 // strtod accepts C-only grammar Python float() rejects — hex floats
 // ("0x1A").  Reject them so line-keeping matches the Python parser
 // (which symmetrically rejects Python-only '1_0.5' underscores).
+// memcpy with a zero-size no-op: an empty std::vector's data() may be
+// null, and copy_out(dst, nullptr, 0) is UB (caught by the UBSAN harness).
+inline void copy_out(void* dst, const void* src, size_t n) {
+  if (n) memcpy(dst, src, n);
+}
+
 inline bool hex_prefixed(const char* p) {
   if (*p == '+' || *p == '-') ++p;
   return p[0] == '0' && (p[1] == 'x' || p[1] == 'X');
@@ -202,13 +208,13 @@ void feats_fill(void* h, double* labels, int32_t* row_offsets,
                 int32_t* indices, float* values, char* id_buffer,
                 int64_t* id_offsets) {
   auto* d = (FeatsData*)h;
-  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
-  memcpy(row_offsets, d->row_offsets.data(),
+  copy_out(labels, d->labels.data(), d->labels.size() * sizeof(double));
+  copy_out(row_offsets, d->row_offsets.data(),
          d->row_offsets.size() * sizeof(int32_t));
-  memcpy(indices, d->indices.data(), d->indices.size() * sizeof(int32_t));
-  memcpy(values, d->values.data(), d->values.size() * sizeof(float));
-  memcpy(id_buffer, d->id_buffer.data(), d->id_buffer.size());
-  memcpy(id_offsets, d->id_offsets.data(),
+  copy_out(indices, d->indices.data(), d->indices.size() * sizeof(int32_t));
+  copy_out(values, d->values.data(), d->values.size() * sizeof(float));
+  copy_out(id_buffer, d->id_buffer.data(), d->id_buffer.size());
+  copy_out(id_offsets, d->id_offsets.data(),
          d->id_offsets.size() * sizeof(int64_t));
 }
 
@@ -306,9 +312,9 @@ int64_t featsl_id_buffer_size(void* h) {
 void featsl_fill(void* h, double* labels, char* id_buffer,
                  int64_t* id_offsets) {
   auto* d = (FeatsLabels*)h;
-  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
-  memcpy(id_buffer, d->id_buffer.data(), d->id_buffer.size());
-  memcpy(id_offsets, d->id_offsets.data(),
+  copy_out(labels, d->labels.data(), d->labels.size() * sizeof(double));
+  copy_out(id_buffer, d->id_buffer.data(), d->id_buffer.size());
+  copy_out(id_offsets, d->id_offsets.data(),
          d->id_offsets.size() * sizeof(int64_t));
 }
 
@@ -316,7 +322,7 @@ void featsl_free(void* h) { delete (FeatsLabels*)h; }
 
 void featsl_fill_labels(void* h, double* labels) {
   auto* d = (FeatsLabels*)h;
-  memcpy(labels, d->labels.data(), d->labels.size() * sizeof(double));
+  copy_out(labels, d->labels.data(), d->labels.size() * sizeof(double));
 }
 
 // Write a .scores file (§6.2): one "<id>,<p0>,...,<pC-1>\n" per row with
@@ -506,12 +512,12 @@ int64_t idt_padded_ids_size(void* h) {
 void idt_fill(void* h, int32_t* fields, int32_t* doc_idx,
               int64_t* padded_rows, char* padded_ids, char* docs) {
   auto* t = (IdTable*)h;
-  memcpy(fields, t->fields.data(), t->fields.size() * sizeof(int32_t));
-  memcpy(doc_idx, t->doc_idx.data(), t->doc_idx.size() * sizeof(int32_t));
-  memcpy(padded_rows, t->padded_rows.data(),
+  copy_out(fields, t->fields.data(), t->fields.size() * sizeof(int32_t));
+  copy_out(doc_idx, t->doc_idx.data(), t->doc_idx.size() * sizeof(int32_t));
+  copy_out(padded_rows, t->padded_rows.data(),
          t->padded_rows.size() * sizeof(int64_t));
-  memcpy(padded_ids, t->padded_ids.data(), t->padded_ids.size());
-  memcpy(docs, t->docs.data(), t->docs.size());
+  copy_out(padded_ids, t->padded_ids.data(), t->padded_ids.size());
+  copy_out(docs, t->docs.data(), t->docs.size());
 }
 
 void idt_free(void* h) { delete (IdTable*)h; }
@@ -631,12 +637,12 @@ int64_t men_docs_size(void* h) {
 void men_fill(void* h, int32_t* cap, int32_t* men, int32_t* first,
               int32_t* last, int32_t* doc_idx, char* docs) {
   auto* d = (MentionCols*)h;
-  memcpy(cap, d->cap.data(), d->cap.size() * sizeof(int32_t));
-  memcpy(men, d->men.data(), d->men.size() * sizeof(int32_t));
-  memcpy(first, d->first.data(), d->first.size() * sizeof(int32_t));
-  memcpy(last, d->last.data(), d->last.size() * sizeof(int32_t));
-  memcpy(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
-  memcpy(docs, d->docs.data(), d->docs.size());
+  copy_out(cap, d->cap.data(), d->cap.size() * sizeof(int32_t));
+  copy_out(men, d->men.data(), d->men.size() * sizeof(int32_t));
+  copy_out(first, d->first.data(), d->first.size() * sizeof(int32_t));
+  copy_out(last, d->last.data(), d->last.size() * sizeof(int32_t));
+  copy_out(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
+  copy_out(docs, d->docs.data(), d->docs.size());
 }
 
 void men_free(void* h) { delete (MentionCols*)h; }
@@ -896,14 +902,14 @@ void cap_fill(void* h, int32_t* cap_idx, int32_t* doc_idx, int64_t* offsets,
               int32_t* ids, char* docs, int64_t* flagged_rows,
               char* flagged_buf) {
   auto* d = (CaptionIds*)h;
-  memcpy(cap_idx, d->cap_idx.data(), d->cap_idx.size() * sizeof(int32_t));
-  memcpy(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
-  memcpy(offsets, d->offsets.data(), d->offsets.size() * sizeof(int64_t));
-  memcpy(ids, d->ids.data(), d->ids.size() * sizeof(int32_t));
-  memcpy(docs, d->docs.data(), d->docs.size());
-  memcpy(flagged_rows, d->flagged_rows.data(),
+  copy_out(cap_idx, d->cap_idx.data(), d->cap_idx.size() * sizeof(int32_t));
+  copy_out(doc_idx, d->doc_idx.data(), d->doc_idx.size() * sizeof(int32_t));
+  copy_out(offsets, d->offsets.data(), d->offsets.size() * sizeof(int64_t));
+  copy_out(ids, d->ids.data(), d->ids.size() * sizeof(int32_t));
+  copy_out(docs, d->docs.data(), d->docs.size());
+  copy_out(flagged_rows, d->flagged_rows.data(),
          d->flagged_rows.size() * sizeof(int64_t));
-  memcpy(flagged_buf, d->flagged_buf.data(), d->flagged_buf.size());
+  copy_out(flagged_buf, d->flagged_buf.data(), d->flagged_buf.size());
 }
 
 void cap_free(void* h) { delete (CaptionIds*)h; }
@@ -986,9 +992,9 @@ int64_t w2v_words_size(void* h) {
 
 void w2v_fill(void* h, float* table, char* words, int64_t* word_offsets) {
   auto* d = (W2VData*)h;
-  memcpy(table, d->table.data(), d->table.size() * sizeof(float));
-  memcpy(words, d->words.data(), d->words.size());
-  memcpy(word_offsets, d->word_offsets.data(),
+  copy_out(table, d->table.data(), d->table.size() * sizeof(float));
+  copy_out(words, d->words.data(), d->words.size());
+  copy_out(word_offsets, d->word_offsets.data(),
          d->word_offsets.size() * sizeof(int64_t));
 }
 
