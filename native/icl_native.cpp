@@ -127,6 +127,17 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
       return -1;
     }
     p = next + 1;
+    // a whitespace value start must be rejected BEFORE strtof: strtox
+    // functions skip leading whitespace themselves — including '\v' and
+    // past line_end into the NEXT line's bytes (fuzz-caught).  Python
+    // never sees this: split() tokens cannot start with whitespace, so
+    // "1:<ws>..." is token "1:" with an empty value → line skipped.
+    if (p >= end || py_ws(*p)) {
+      out->labels.pop_back();
+      out->indices.resize(n0);
+      out->values.resize(n0);
+      return -1;
+    }
     float val = strtof(p, &next);
     if (next == p || hex_prefixed(p) || !token_ends_ok(next, end)) {
       out->labels.pop_back();

@@ -423,6 +423,20 @@ def test_feats_labels_raw_fuzz(tmp_path):
         ids_p, lab_p = read_feats_labels(str(p), use_native=False)
         assert ids_n == ids_p, (trial, content)
         np.testing.assert_array_equal(lab_n, lab_p, str((trial, content)))
+        # the FULL parser (sparse idx:val columns) must match too
+        from icl.io.feats import read_feats
+        full_n = read_feats(str(p), use_native=True)
+        full_p = read_feats(str(p), use_native=False)
+        assert len(full_n) == len(full_p), (trial, content)
+        for a, b in zip(full_n, full_p):
+            assert a.example_id == b.example_id, (trial, content)
+            assert a.label == b.label or (a.label != a.label
+                                          and b.label != b.label), \
+                (trial, content)
+            np.testing.assert_array_equal(a.indices, b.indices,
+                                          str((trial, content)))
+            np.testing.assert_array_equal(a.values, b.values,
+                                          str((trial, content)))
 
 
 def test_feats_universal_newlines(tmp_path):
