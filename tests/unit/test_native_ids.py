@@ -460,6 +460,39 @@ def test_feats_universal_newlines(tmp_path):
     assert [e.label for e in full] == [1.0, 0.0, 2.0]
 
 
+def test_grouping_soak_random_files(tmp_path):
+    """Randomized multi-row grouping soak: fast grouping ≡ Python over
+    files with shuffled doc orders, interleaved images, zero-padded
+    fields, duplicate rows, and float/negative labels (the grouping layer
+    held the subtlest bug of the native fast path — a positional-vs-row
+    index mix-up invisible on pre-sorted fixtures)."""
+    import random
+
+    rng = random.Random(171)
+    docs_pool = ["b.jpg", "a.jpg", "c c.jpg", "z", "m_9.jpg"]
+    for trial in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 40)):
+            d = rng.choice(docs_pool)
+            ci, mi, cj, mj = (rng.randint(0, 9) for _ in range(4))
+            pad = rng.random() < 0.15
+            ci_s = f"0{ci}" if pad else str(ci)
+            lbl = rng.choice(["0", "1", "2", "3", "-1", "2.7", "0.0"])
+            lines.append(f"{lbl} 1:1 # doc:{d};caption_1:{ci_s};"
+                         f"mention_1:{mi};caption_2:{cj};mention_2:{mj}")
+        p = tmp_path / "g.feats"
+        p.write_text("\n".join(lines) + "\n")
+        fast = pipeline._fast_grouped_rows(str(p), "pair")
+        slow = pipeline._python_grouped_pair_rows(str(p))
+        assert fast is not None
+        assert len(fast) == len(slow), trial
+        for (fi, fpk, fl, fo), (si, spk, sl_, so) in zip(fast, slow):
+            assert fi == si, trial
+            np.testing.assert_array_equal(fpk, spk, str(trial))
+            np.testing.assert_array_equal(fl, sl_, str(trial))
+            assert (fo or {}) == (so or {}), trial
+
+
 def test_bad_id_falls_back_to_python_error(synth_dir):
     path = split_path(synth_dir, "train", "relation.feats")
     with open(path, "a") as f:
