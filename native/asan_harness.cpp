@@ -45,6 +45,14 @@ int64_t men_docs_size(void*);
 void men_fill(void*, int32_t*, int32_t*, int32_t*, int32_t*, int32_t*,
               char*);
 void men_free(void*);
+int scores_write(const char* path, const char* const* ids,
+                 const double* probs, int64_t n, int32_t c);
+void* w2v_load(const char* path, const char* filter_words);
+int64_t w2v_vocab(void*);
+int32_t w2v_dim(void*);
+int64_t w2v_words_size(void*);
+void w2v_fill(void*, float*, char*, int64_t*);
+void w2v_free(void*);
 void* captions_parse(const char* path, const char* vocab);
 void* captions_words(const char* path);
 int64_t cap_num(void*);
@@ -130,6 +138,27 @@ void drive_captions(const char* path, const char* vocab) {
   }
 }
 
+void drive_w2v(const char* path) {
+  for (const char* filter : {(const char*)nullptr, "", "the\ndog\n"}) {
+    if (void* h = w2v_load(path, filter)) {
+      int64_t v = w2v_vocab(h);
+      int32_t dim = w2v_dim(h);
+      int64_t ws = w2v_words_size(h);
+      w2v_fill(h, buf<float>(v * dim), buf<char>(ws), buf<int64_t>(v));
+      w2v_free(h);
+    }
+  }
+}
+
+void drive_scores(const char* dir) {
+  std::string out = std::string(dir) + "/asan.scores";
+  const char* ids[3] = {"doc:a;m:0", "", "doc:\xc3\xbc;m:1"};
+  double probs[6] = {0.25, 0.75, 1.0, 0.0, -1.5, 2.5};
+  scores_write(out.c_str(), ids, probs, 3, 2);
+  scores_write(out.c_str(), ids, probs, 0, 2);
+  scores_write("/nonexistent-dir-xyz/f.scores", ids, probs, 1, 2);
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -140,6 +169,13 @@ int main(int argc, char** argv) {
     drive_feats(argv[i]);
     drive_mentions(argv[i]);
     drive_captions(argv[i], vocab);
+    drive_w2v(argv[i]);   // adversarial bytes exercise the .bin header path
+  }
+  if (argc > 1) {
+    std::string dir(argv[1]);
+    size_t slash = dir.rfind('/');
+    drive_scores(slash == std::string::npos ? "."
+                                            : dir.substr(0, slash).c_str());
   }
   puts("asan-harness: OK");
   return 0;

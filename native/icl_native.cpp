@@ -955,7 +955,13 @@ void* w2v_load(const char* path, const char* filter_words) {
   char header[64];
   if (!fgets(header, sizeof(header), f)) { fclose(f); return nullptr; }
   long total = 0; int dim = 0;
-  if (sscanf(header, "%ld %d", &total, &dim) != 2 || dim <= 0) {
+  // dim cap: a malicious/corrupt header ("2 2000000000") would otherwise
+  // drive a dim*4-byte transient allocation before the short-read check
+  // ever runs; real w2v dims are <= 1024 (GoogleNews: 300).  Oversized
+  // headers return null and the pure-Python loader reports the malformed
+  // file.
+  if (sscanf(header, "%ld %d", &total, &dim) != 2 || dim <= 0 ||
+      dim > 100000 || total < 0) {
     fclose(f);
     return nullptr;
   }

@@ -53,6 +53,11 @@ def test_sanitizers_clean_on_adversarial_bytes(harness, tmp_path):
         "tabs_only": b"\t\t\t\n\t1\t2,3\n",
         "deep_fields": b"doc:" + b";caption:1" * 2000 + b"\t1,2\n",
         "long_token": b"a.jpg#1\t" + b"x" * 200_000 + b"\n",
+        # truncated/overstated w2v .bin headers (the harness drives
+        # w2v_load over every input)
+        "w2v_truncated": b"1000000 300\nthe " + b"\x00" * 40,
+        "w2v_zero_dim": b"5 0\nthe ",
+        "w2v_huge_dim": b"2 2000000000\nthe \x01\x02",
     }
     paths = []
     for name, data in cases.items():
