@@ -23,7 +23,15 @@ def load_binary(path: str, restrict_to=None):
         filt = "\n".join(sorted(set(restrict_to))).encode("utf-8")
     handle = lib.w2v_load(path.encode(), filt)
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        # file exists but the native loader rejected it (unreadable, bad
+        # header, oversized dim): fall back to the pure-Python loader,
+        # whose behavior is the contract — a garbage header raises a
+        # meaningful error, a truncated body keeps what parsed
+        return None
     try:
         v = lib.w2v_vocab(handle)
         d = lib.w2v_dim(handle)

@@ -460,6 +460,21 @@ def test_feats_universal_newlines(tmp_path):
     assert [e.label for e in full] == [1.0, 0.0, 2.0]
 
 
+def test_w2v_native_rejection_falls_back_to_python(tmp_path):
+    """A null native w2v handle means missing file OR rejected header —
+    only the former is FileNotFoundError; for an existing-but-rejected
+    file the Python loader's semantics are the contract (keep-what-parsed
+    for truncated bodies, a meaningful error for garbage headers)."""
+    from icl.data.embeddings import EmbeddingStore
+
+    p = tmp_path / "huge_dim.bin"
+    p.write_bytes(b"2 2000000000\nthe \x01\x02")     # native dim cap rejects
+    s = EmbeddingStore.load(str(p))
+    assert len(s.vocab) == 0                         # keep-what-parsed
+    with pytest.raises(FileNotFoundError):
+        EmbeddingStore.load(str(tmp_path / "absent.bin"))
+
+
 def test_grouping_soak_random_files(tmp_path):
     """Randomized multi-row grouping soak: fast grouping ≡ Python over
     files with shuffled doc orders, interleaved images, zero-padded
