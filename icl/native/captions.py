@@ -21,7 +21,11 @@ def caption_words(path: str):
         return None
     handle = lib.captions_words(path.encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.cap_fallback(ctypes.c_void_p(handle))):
             return None
@@ -80,7 +84,11 @@ def parse_captions(path: str, vocab_words: list[str]):
     handle = lib.captions_parse(path.encode(),
                                 "\n".join(vocab_words).encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.cap_fallback(ctypes.c_void_p(handle))):
             return None

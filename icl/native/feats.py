@@ -24,7 +24,11 @@ def parse_feats_file(path: str):
         return None
     handle = lib.feats_parse(path.encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.feats_needs_python(ctypes.c_void_p(handle))):
             return None   # non-ASCII could change tokenization — Python path
@@ -71,7 +75,11 @@ def parse_feats_labels(path: str):
         return None
     handle = lib.feats_parse_labels(path.encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):
             return None   # non-ASCII could change tokenization — Python path
@@ -125,7 +133,11 @@ def parse_feats_ids(path: str, kind: str):
     knum, k = _ID_KINDS[kind]
     handle = lib.feats_parse_labels(path.encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     table = None
     try:
         if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):

@@ -25,7 +25,11 @@ def parse_mentions(path: str):
         return None
     handle = lib.mentions_parse(path.encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.men_fallback(ctypes.c_void_p(handle))):
             return None
