@@ -111,6 +111,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.cap_free.restype = None
     lib.cap_free.argtypes = [ctypes.c_void_p]
     lib.scores_write.restype = ctypes.c_int
+    lib.scores_write_chunk.restype = ctypes.c_int
     lib.w2v_load.restype = ctypes.c_void_p
     lib.w2v_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.w2v_vocab.restype = ctypes.c_int64

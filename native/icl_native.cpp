@@ -71,15 +71,15 @@ inline bool has_high_byte(const char* p, const char* end) {
   return false;
 }
 
-// strtod accepts C-only grammar Python float() rejects — hex floats
-// ("0x1A").  Reject them so line-keeping matches the Python parser
-// (which symmetrically rejects Python-only '1_0.5' underscores).
 // memcpy with a zero-size no-op: an empty std::vector's data() may be
-// null, and copy_out(dst, nullptr, 0) is UB (caught by the UBSAN harness).
+// null, and memcpy(dst, nullptr, 0) is UB (caught by the UBSAN harness).
 inline void copy_out(void* dst, const void* src, size_t n) {
   if (n) memcpy(dst, src, n);
 }
 
+// strtod accepts C-only grammar Python float() rejects — hex floats
+// ("0x1A").  Reject them so line-keeping matches the Python parser
+// (which symmetrically rejects Python-only '1_0.5' underscores).
 inline bool hex_prefixed(const char* p) {
   if (*p == '+' || *p == '-') ++p;
   return p[0] == '0' && (p[1] == 'x' || p[1] == 'X');
@@ -337,10 +337,14 @@ void featsl_fill_labels(void* h, double* labels) {
 }
 
 // Write a .scores file (§6.2): one "<id>,<p0>,...,<pC-1>\n" per row with
-// 6-decimal fixed formatting.  Returns 0 on success.
-int scores_write(const char* path, const char* const* ids, const double* probs,
-                 int64_t n, int32_t c) {
-  FILE* f = fopen(path, "wb");
+// 6-decimal fixed formatting.  Returns 0 on success.  ``append`` != 0
+// continues an earlier chunk — the Python wrapper streams MSCOCO-scale
+// writes in bounded pieces instead of materializing millions of encoded
+// id pointers at once.
+int scores_write_chunk(const char* path, const char* const* ids,
+                       const double* probs, int64_t n, int32_t c,
+                       int32_t append) {
+  FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   std::string line;
   char num[32];
@@ -358,6 +362,11 @@ int scores_write(const char* path, const char* const* ids, const double* probs,
   }
   if (fclose(f) != 0) return -3;  // buffered flush can fail (disk full)
   return 0;
+}
+
+int scores_write(const char* path, const char* const* ids, const double* probs,
+                 int64_t n, int32_t c) {
+  return scores_write_chunk(path, ids, probs, n, c, 0);
 }
 
 }  // extern "C"
