@@ -558,9 +558,13 @@ def load_affinity_dataset(
             raise KeyError(int(cell_key[0, 2]))
         sb_order = np.argsort(bo, kind="stable")
         sb = bo[sb_order]
-        pos = np.searchsorted(sb, cell_key[:, 2])
-        pos_c = np.minimum(pos, len(sb) - 1)
-        ok = (pos < len(sb)) & (sb[pos_c] == cell_key[:, 2])
+        # side='right'-1 lands on the LAST index of an equal run: with a
+        # duplicated box id, the {b: c} dict this replaced was last-wins,
+        # so the cell must map to the LATER file-order grid column — the
+        # stable argsort preserves file order within the run (ADVICE r3)
+        pos = np.searchsorted(sb, cell_key[:, 2], side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        ok = (pos >= 0) & (sb[pos_c] == cell_key[:, 2])
         if not ok.all():
             b = int(np.flatnonzero(~ok)[0])
             raise KeyError(int(cell_key[b, 2]))

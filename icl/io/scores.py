@@ -91,9 +91,13 @@ def read_scores(path: str) -> tuple[list[str], np.ndarray]:
             line = line.rstrip("\n")
             if not line:
                 continue
-            eid, _, rest = line.partition(",")
+            eid, sep, rest = line.partition(",")
             ids.append(eid)
-            rows.append(rest.split(",") if rest else [])
+            # when a separator was present, split unconditionally: a line
+            # "id," is one EMPTY field and must fail float('') like the
+            # original per-field loop did, not silently become a zero-field
+            # row (ADVICE r3)
+            rows.append(rest.split(",") if sep else [])
     try:
         # numpy parses the string fields directly (same strtod grammar as
         # %.6f round-trips need) — ~3x faster than per-field float() at

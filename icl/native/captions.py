@@ -116,8 +116,14 @@ def parse_captions(path: str, vocab_words: list[str]):
             flag_buf)
     finally:
         lib.cap_free(ctypes.c_void_p(handle))
-    docs = (docs_buf.raw[:docs_size].decode("utf-8").split("\0")[:ndocs]
-            if ndocs else [])
+    try:
+        # doc ids may carry non-ASCII bytes; invalid UTF-8 must fall back
+        # (read_captions raises its own UnicodeDecodeError with file
+        # context), not escape this wrapper as a bare buffer decode error
+        docs = (docs_buf.raw[:docs_size].decode("utf-8").split("\0")[:ndocs]
+                if ndocs else [])
+    except UnicodeDecodeError:
+        return None
     flagged: dict[int, str] = {}
     if nflag:
         try:

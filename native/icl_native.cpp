@@ -85,6 +85,18 @@ inline bool hex_prefixed(const char* p) {
   return p[0] == '0' && (p[1] == 'x' || p[1] == 'X');
 }
 
+// strtod/strtof also accept C-only "nan(chars)" payload forms that Python
+// float() rejects ("nan(x)" → float ValueError → line skipped).  Reject any
+// token that begins (after sign) with nan( — if the paren sequence is
+// malformed strtod stops at '(' and token_ends_ok already drops the line,
+// but a well-formed payload parses clean and would diverge (ADVICE r3).
+inline bool nan_paren(const char* p, const char* end) {
+  if (p < end && (*p == '+' || *p == '-')) ++p;
+  return end - p >= 4 && (p[0] == 'n' || p[0] == 'N') &&
+         (p[1] == 'a' || p[1] == 'A') && (p[2] == 'n' || p[2] == 'N') &&
+         p[3] == '(';
+}
+
 // Parse one line in place; 0 = blank/comment, 1 = example, -1 = malformed
 // (the whole line is dropped and rolled back — matching the pure-Python
 // parser, which skips any line whose label or idx:val tokens fail to parse,
@@ -94,7 +106,7 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
   if (p >= end || *p == '#' || *p == '\n') return 0;
 
   char* next = nullptr;
-  if (hex_prefixed(p)) return -1;
+  if (hex_prefixed(p) || nan_paren(p, end)) return -1;
   double label = strtod(p, &next);
   if (next == p || !token_ends_ok(next, end)) return -1;
   p = next;
@@ -139,7 +151,8 @@ int parse_line(const char* p, const char* end, FeatsData* out) {
       return -1;
     }
     float val = strtof(p, &next);
-    if (next == p || hex_prefixed(p) || !token_ends_ok(next, end)) {
+    if (next == p || hex_prefixed(p) || nan_paren(p, end) ||
+        !token_ends_ok(next, end)) {
       out->labels.pop_back();
       out->indices.resize(n0);
       out->values.resize(n0);
@@ -275,8 +288,9 @@ void* feats_parse_labels(const char* path) {
     while (q < line_end && py_ws(*q)) ++q;
     if (q < line_end && *q != '#') {     // not blank / comment-only
       char* next = nullptr;
-      double label = (hex_prefixed(q) ? (next = (char*)q, 0.0)
-                                      : strtod(q, &next));
+      double label = ((hex_prefixed(q) || nan_paren(q, line_end))
+                          ? (next = (char*)q, 0.0)
+                          : strtod(q, &next));
       if (next != q && token_ends_ok(next, line_end)) {
         d->labels.push_back(label);      // else: malformed, counted below
         const char* hash = (const char*)memchr(q, '#', line_end - q);
@@ -347,11 +361,20 @@ int scores_write_chunk(const char* path, const char* const* ids,
   FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   std::string line;
-  char num[32];
+  // worst-case ",%.6f" of a finite double is ~318 chars (±1.8e308 → 309
+  // integer digits + '.' + 6 decimals + sign + ',') — size for it, and
+  // treat any truncation as an IO-level failure (the Python wrapper then
+  // falls back to the pure-Python writer) instead of appending snprintf's
+  // would-be length past the buffer (ADVICE r3).
+  char num[352];
   for (int64_t i = 0; i < n; ++i) {
     line.assign(ids[i]);
     for (int32_t j = 0; j < c; ++j) {
       int len = snprintf(num, sizeof(num), ",%.6f", probs[i * c + j]);
+      if (len < 0 || len >= (int)sizeof(num)) {
+        fclose(f);
+        return -4;
+      }
       line.append(num, len);
     }
     line.push_back('\n');
@@ -847,6 +870,14 @@ void* captions_words(const char* path) {
     }
     const char* tab = (const char*)memchr(p, '\t', le - p);
     const char* key_end = tab ? tab : le;
+    // a high byte in the KEY region never reaches Python (only words are
+    // returned), so invalid UTF-8 there would silently succeed here while
+    // read_captions raises UnicodeDecodeError — route the whole file to
+    // Python, matching the feats parsers' conservative treatment (ADVICE r3)
+    if (has_high_byte(p, key_end)) {
+      d->fallback = true;
+      break;
+    }
     const char* hash = nullptr;
     for (const char* q = key_end; q > p;)
       if (*--q == '#') { hash = q; break; }

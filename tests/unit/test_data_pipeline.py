@@ -292,3 +292,44 @@ def test_restrict_keeps_lowercase_fallback_forms():
     sub = src.restrict({"Dog"})
     assert set(sub.vocab) == {"Dog", "dog"}
     assert sub.lookup_id("Dog") == sub.vocab["Dog"]
+
+
+def test_affinity_duplicate_box_id_last_wins(tmp_path):
+    """A duplicated box id in boxes.npz must resolve affinity cells to the
+    LAST file-order occurrence's grid column — the {box: col} dict the
+    vectorized searchsorted resolution replaced was last-wins (ADVICE r3)."""
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = str(tmp_path)
+    generate_dataset(d, "train", SynthConfig(num_images=2, seed=3))
+    emb_ = EmbeddingStore.load(os.path.join(d, "embeddings.txt"))
+    base = load_affinity_dataset(d, "train", emb_)
+    img0 = base.images[0]
+
+    # duplicate image-0's box 0 with RECOGNIZABLY different features
+    npz = os.path.join(d, "train.boxes.npz")
+    with np.load(npz) as z:
+        ids = [str(s) for s in z["ids"]]
+        feats = np.asarray(z["feats"], np.float32)
+    from icl.io.boxes import make_box_id, write_box_feats
+
+    dup_id = make_box_id(img0.img_id, img0.box_idx[0])
+    dup_row = np.full((1, feats.shape[1]), 123.0, np.float32)
+    write_box_feats(npz, ids + [dup_id], np.vstack([feats, dup_row]))
+
+    ds = load_affinity_dataset(d, "train", emb_)
+    im = next(i for i in ds.images if i.img_id == img0.img_id)
+    # grid grew by one column; the duplicated index appears twice, sorted
+    assert len(im.box_idx) == len(img0.box_idx) + 1
+    cols = [c for c, b in enumerate(im.box_idx) if b == img0.box_idx[0]]
+    assert len(cols) == 2
+    first_col, last_col = cols
+    # file order within the equal run: original row first, appended last
+    np.testing.assert_array_equal(np.asarray(im.box_feats)[last_col],
+                                  dup_row[0])
+    # cells for the duplicated box land on the LAST column only
+    np.testing.assert_array_equal(im.grid_valid[:, first_col], False)
+    np.testing.assert_array_equal(im.grid_valid[:, last_col],
+                                  img0.grid_valid[:, 0])
+    np.testing.assert_array_equal(im.grid_label[:, last_col],
+                                  img0.grid_label[:, 0])

@@ -152,6 +152,8 @@ def test_numeric_grammar_parity_and_range(tmp_path):
                 "3 1:0x1A # doc:h\n"            # C-only hex float
                 "0x2 1:1.0 # doc:hl\n"          # hex label
                 "2 99999999999:1.0 # doc:o\n"   # index beyond int32
+                "nan(1) 1:2 # doc:np\n"         # C-only nan payload label
+                "4 1:nan(2) # doc:nv\n"         # C-only nan payload value
                 "0.5 4:1.0 # doc:b\n")
     for use_native in (False, True):
         full = read_feats(p, use_native=use_native)

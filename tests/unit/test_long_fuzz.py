@@ -23,7 +23,8 @@ _FEATS_PIECES = [
     "\t", ":", "2:3", "abc", "doc:a;m:1", "\r", "", "99999999999", "3:",
     ":4", "+", "-", ".", "1.5e", "# id ", "\v", "\f", "\xa0", "٣", "Inf",
     "infinity", "1.", ".5", "2147483648", "+inf", "e5", "0:0", "-1:-1",
-    "1:+2", "1:.5", "1::2", "##", "1#2#3", "1:2e", "1:0x3"]
+    "1:+2", "1:.5", "1::2", "##", "1#2#3", "1:2e", "1:0x3",
+    "nan(1)", "nan(", "1:nan(2)", "-NAN(x)"]
 
 _ID_PIECES = [
     "doc:", "caption:", "mention:", ";", "#", "\t", ",", " ", "0", "7",

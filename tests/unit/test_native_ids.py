@@ -410,7 +410,7 @@ def test_feats_labels_raw_fuzz(tmp_path):
     pieces = ["1", "0.5", "-2", "nan", "1e3", "0x1A", "1_0", "#", " ",
               "\t", ":", "2:3", "abc", "doc:a;m:1", "\r", "", "99999999999",
               "3:", ":4", "+", "1.5e", "# id with spaces ", "\v", "\f",
-              " ", "٣", "Inf"]
+              " ", "٣", "Inf", "nan(1)", "nan(", "1:nan(2)"]
     for trial in range(400):
         content = ""
         for _ in range(rng.randint(1, 6)):
@@ -543,3 +543,20 @@ def test_int32_overflow_label_falls_back_to_python_error(synth_dir):
                 ";caption_2:0;mention_2:1\n")
     with pytest.raises(OverflowError):
         load_relation_dataset(synth_dir, "train", _emb(synth_dir))
+
+
+def test_caption_words_key_region_high_bytes(tmp_path):
+    """Invalid UTF-8 in the KEY region never reaches Python from the words
+    scan (only tokens are returned), so the native path must fall back
+    whole-file — split_vocab then hits read_captions' UnicodeDecodeError
+    instead of silently succeeding (ADVICE r3)."""
+    import pytest
+
+    from icl.io.captions import read_captions
+    from icl.native.captions import caption_words
+
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"a\xffb.jpg#0\talpha beta\n")
+    assert caption_words(str(p)) is None
+    with pytest.raises(UnicodeDecodeError):
+        read_captions(str(p))

@@ -33,3 +33,43 @@ def test_deterministic_bytes(tmp_path):
     write_scores(p1, ids, probs)
     write_scores(p2, ids, probs)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_extreme_values_native_python_byte_parity(tmp_path):
+    """%.6f of ±1e300 is ~314 chars — the native writer's fixed buffer must
+    hold it (or bail to the Python fallback), never append snprintf's
+    would-be length past the buffer (ADVICE r3).  Both paths byte-equal."""
+    ids = ["a", "b"]
+    probs = np.array([[1e300, -1e300], [0.5, 1e-300]])
+    p_python = str(tmp_path / "p.scores")
+    with open(p_python, "w", encoding="utf-8", newline="\n") as f:
+        for eid, row in zip(ids, probs):
+            f.write(eid + "," + ",".join(f"{v:.6f}" for v in row) + "\n")
+    try:
+        from icl.native.feats import write_scores_native
+
+        p_native = str(tmp_path / "n.scores")
+        if write_scores_native(p_native, ids, probs):
+            assert (open(p_native, "rb").read()
+                    == open(p_python, "rb").read())
+    except ImportError:
+        pass
+    # the public writer must produce the same bytes whichever path ran
+    w = str(tmp_path / "w.scores")
+    write_scores(w, ids, probs)
+    assert open(w, "rb").read() == open(p_python, "rb").read()
+
+
+def test_read_scores_empty_field_errors(tmp_path):
+    """'id,' is one EMPTY field: float('') must raise like the original
+    per-field loop (ADVICE r3) — not silently become a zero-field row."""
+    import pytest
+
+    p = tmp_path / "e.scores"
+    p.write_text("id,\n")
+    with pytest.raises(ValueError):
+        read_scores(str(p))
+    # a bare id with NO separator stays a zero-field row
+    p.write_text("id\n")
+    rids, rprobs = read_scores(str(p))
+    assert rids == ["id"] and rprobs.shape == (1, 0)
