@@ -142,8 +142,7 @@ def run_training(state: TrainState, step_fn: Callable,
 
     if cfg.early_stop and (eval_fn is None or not cfg.eval_every):
         # the eval hook can be absent even when requested (missing dev
-        # split, multi-process run) — say so instead of silently training
-        # to the epoch cap
+        # split) — say so instead of silently training to the epoch cap
         LOG.warning("--early_stop %d requested but no dev eval will run "
                     "(eval hook unavailable or --eval_every 0) — training "
                     "runs to the epoch cap", cfg.early_stop)
