@@ -65,7 +65,8 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "deterministic loss/acc over (a capped sample of) "
                         "--eval_split and log it (JSONL eval_* keys) - "
                         "the reference's Keras validation monitoring. "
-                        "0: off. Ignored in multi-process runs")
+                        "0: off. Multi-process runs evaluate in lockstep "
+                        "(each host feeds its data-axis slice)")
     p.add_argument("--eval_split", default="dev")
     p.add_argument("--eval_batches", type=int, default=16,
                    help="max eval batches per --eval_every hook")
@@ -188,21 +189,47 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
     return args
 
 
-def require_single_process(what: str = "predict") -> None:
-    """Hard-error instead of silently duplicating work on a pod.
+def begin_predict(args, rt, state, table, n_examples: int):
+    """Set up the (possibly multi-host) predict sweep.
 
-    Predict builds full host batches, shards them on the global mesh, and
-    writes `.scores` once — under ``process_count > 1`` every host would
-    either fail on non-addressable shards or write the same file N times.
-    Mirrors the evalhook's multi-process guard (icl/train/evalhook.py);
-    SURVEY §3.4: multi-host is a *training* throughput feature."""
+    Single-process: returns ``(rt.mesh, state, table, (0, n_examples))`` —
+    nothing changes.  Multi-process (SURVEY §4.2 at pod scale, VERDICT r3
+    missing#2): every host sweeps its own contiguous example slice on a
+    LOCAL all-device mesh (independent programs, no collectives — a fast
+    host never stalls on a slow one), so the restored state and the
+    embedding table are pulled to host and re-replicated on that mesh, and
+    the returned ``[lo, hi)`` slice tells the caller which examples this
+    host owns.  The per-host `.scores` shards merge via
+    :func:`icl.io.scores.write_scores_sharded`.
+
+    ``--eval`` stays single-process: its ScoreDict table needs global
+    counts — `icl-eval` over the merged `.scores` is the pod-scale path.
+    """
     import jax
 
-    if jax.process_count() > 1:
+    from icl.dist.mesh import predict_mesh, predict_partition, replicate
+
+    if jax.process_count() == 1:
+        return rt.mesh, state, table, (0, n_examples)
+    if getattr(args, "eval", False):
         raise SystemExit(
-            f"icl: --{what} is single-process — run it on one host without "
-            "--process_id (multi-host distribution applies to --train only; "
-            "a trained checkpoint predicts fine from a single host)")
+            "icl: --eval is single-process (the confusion table needs "
+            "global counts) — drop --eval here and run icl-eval on the "
+            "merged .scores instead")
+    import numpy as np
+
+    mesh = predict_mesh(rt.mesh)
+    # restored checkpoints are process-local host arrays; anything still on
+    # the global mesh is fully replicated, so np.asarray reads it locally —
+    # either way one hop through host numpy makes the re-placement on the
+    # local mesh unconditional and cross-mesh-transfer free
+    state = replicate(jax.tree.map(np.asarray, state), mesh)
+    table = replicate(np.asarray(table), mesh)
+    lo, hi = predict_partition(n_examples)
+    LOG.info("sharded predict: process %d/%d sweeps examples [%d, %d) "
+             "on %d local devices", jax.process_index(),
+             jax.process_count(), lo, hi, len(jax.local_devices()))
+    return mesh, state, table, (lo, hi)
 
 
 def resolve_compute_dtype(args):

@@ -20,7 +20,7 @@ from icl.data.buckets import Bucketizer, BucketSpec
 from icl.data.pipeline import load_mention_dataset
 from icl.dist.mesh import data_axis_size, replicate, shard_batch
 from icl.eval.scoredict import ScoreDict
-from icl.io.scores import write_scores
+from icl.io.scores import write_scores_sharded
 from icl.models.nonvisual import mean_pool_tokens
 from icl.train import create_train_state, make_mention_train_step
 from icl.train.checkpoint import Checkpointer
@@ -116,13 +116,22 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         return
 
     # --predict
-    from icl.cli._common import require_single_process
-    require_single_process("predict")
+    from icl.cli._common import begin_predict
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:
         LOG.warning("no checkpoint found in %s — predicting from init",
                     model_dir)
+    # multi-process: this host sweeps mentions[lo:hi) on a local mesh and
+    # the `.scores` shards merge byte-identically (_common.begin_predict)
+    total_mentions = len(ds.ids)
+    pmesh, state, table, (lo, hi) = begin_predict(
+        args, rt, state, table, len(ds.ids))
+    if (lo, hi) != (0, len(ds.ids)):
+        import dataclasses
+        ds = dataclasses.replace(ds, token_ids=ds.token_ids[lo:hi],
+                                 lengths=ds.lengths[lo:hi],
+                                 labels=ds.labels[lo:hi], ids=ds.ids[lo:hi])
     predict = make_mention_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
 
@@ -140,13 +149,14 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         dev = predict(state.params, table,
                       *shard_batch((jnp.asarray(b.arrays["token_ids"]),
                                     jnp.asarray(b.arrays["lengths"])),
-                                   rt.mesh))
+                                   pmesh))
         pending.append((b, dev))
         if len(pending) > 3:
             _consume(*pending.popleft())
     while pending:
         _consume(*pending.popleft())
-    probs = np.stack([probs_by_id[eid] for eid in ds.ids])
+    probs = (np.stack([probs_by_id[eid] for eid in ds.ids]) if ds.ids
+             else np.zeros((0, len(classes))))
     if args.oracle_parity or args.oracle_parity_full:
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_ffnn
@@ -157,10 +167,13 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         p_oracle = oracle_ffnn(jax.tree.map(np.asarray, state.params), pooled)
         report_parity(float(np.abs(probs[:n] - p_oracle).max()))
     scores_path = default_scores_path(args, task)
-    write_scores(scores_path, ds.ids, probs, class_order=classes,
-                 meta={"task": task, "split": args.data_split,
-                       "checkpoint_step": int(state.step)})
-    LOG.info("wrote %d scores to %s", len(ds.ids), scores_path)
+    write_scores_sharded(scores_path, ds.ids, probs,
+                         num_classes=len(classes),
+                         total_examples=total_mentions, class_order=classes,
+                         meta={"task": task, "split": args.data_split,
+                               "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores (%d total) to %s", len(ds.ids),
+             total_mentions, scores_path)
     if args.eval:
         sd = ScoreDict(labels=list(classes))
         preds = probs.argmax(-1)

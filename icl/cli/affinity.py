@@ -22,7 +22,7 @@ from icl.data.imagebatch import AffinityBatcher
 from icl.data.pipeline import load_affinity_dataset
 from icl.dist.mesh import data_axis_size, replicate, shard_batch
 from icl.eval.scoredict import ScoreDict
-from icl.io.scores import write_scores
+from icl.io.scores import write_scores_sharded
 from icl.models.affinity import AFFINITY_CLASSES, AffinityModel
 from icl.train import create_train_state, make_affinity_train_step
 from icl.train.checkpoint import Checkpointer
@@ -159,12 +159,19 @@ def main(argv=None) -> None:
                  int(state.step), model_dir)
         return
 
-    from icl.cli._common import require_single_process
-    require_single_process("predict")
+    from icl.cli._common import begin_predict
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:
         LOG.warning("no checkpoint in %s — predicting from init", model_dir)
+    # multi-process: this host sweeps images[lo:hi) on a local mesh and the
+    # `.scores` shards merge byte-identically (icl/cli/_common.begin_predict)
+    total_cells = ds.num_cells
+    pmesh, state, table, (lo, hi) = begin_predict(
+        args, rt, state, table, len(ds.images))
+    if (lo, hi) != (0, len(ds.images)):
+        import dataclasses
+        ds = dataclasses.replace(ds, images=ds.images[lo:hi])
     predict = make_affinity_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
     sd = ScoreDict(labels=list(AFFINITY_CLASSES))
@@ -215,7 +222,7 @@ def main(argv=None) -> None:
     pending: collections.deque = collections.deque()
     for b in prefetch(batcher.batches(ds), depth=4):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                         rt.mesh)
+                         pmesh)
         pending.append((b, packed_fn(state.params, table, jb)))
         if len(pending) > 3:
             _consume(*pending.popleft())
@@ -229,7 +236,7 @@ def main(argv=None) -> None:
         params_np = jax.tree.map(np.asarray, state.params)
         for b in batcher.batches(ds):
             jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                             rt.mesh)
+                             pmesh)
             p_jax = np.asarray(predict(state.params, table, jb))
             p_oracle = oracle_affinity(params_np, emb.table, b.arrays,
                                        phrase_enc=phrase_enc)
@@ -249,19 +256,26 @@ def main(argv=None) -> None:
             for c, bi in enumerate(im.box_idx):
                 if im.grid_valid[r, c]:
                     order.append(im.cell_id(ci, mi, bi))
-    out = np.stack([probs_by_id[cid] for cid in order])
+    out = (np.stack([probs_by_id[cid] for cid in order]) if order
+           else np.zeros((0, len(AFFINITY_CLASSES))))
     scores_path = default_scores_path(args, "affinity")
-    write_scores(scores_path, order, out, class_order=AFFINITY_CLASSES,
-                 meta={"task": "affinity", "split": args.data_split,
-                       "checkpoint_step": int(state.step)})
-    LOG.info("wrote %d scores to %s", len(order), scores_path)
+    write_scores_sharded(scores_path, order, out,
+                         num_classes=len(AFFINITY_CLASSES),
+                         total_examples=total_cells,
+                         class_order=AFFINITY_CLASSES,
+                         meta={"task": "affinity", "split": args.data_split,
+                               "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores (%d total) to %s", len(order), total_cells,
+             scores_path)
     if args.rank_file:
-        ranks_out = np.array([[rank_by_id[cid]] for cid in order])
-        write_scores(args.rank_file, order, ranks_out,
-                     class_order=["rank_prob"],
-                     meta={"task": "affinity_rank", "split": args.data_split,
-                           "note": "per-image softmax over candidate boxes "
-                                   "per mention (SURVEY §6.5)"})
+        ranks_out = np.array([[rank_by_id[cid]] for cid in order]
+                             ).reshape(len(order), 1)
+        write_scores_sharded(
+            args.rank_file, order, ranks_out, num_classes=1,
+            total_examples=total_cells, class_order=["rank_prob"],
+            meta={"task": "affinity_rank", "split": args.data_split,
+                  "note": "per-image softmax over candidate boxes "
+                          "per mention (SURVEY §6.5)"})
         LOG.info("wrote %d rank probs to %s", len(order), args.rank_file)
     if args.eval:
         print(sd.table())

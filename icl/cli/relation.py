@@ -23,7 +23,7 @@ from icl.data.pairs import RELATION_CLASSES
 from icl.data.pipeline import load_relation_dataset
 from icl.dist.mesh import data_axis_size, replicate, shard_batch
 from icl.eval.scoredict import ScoreDict
-from icl.io.scores import write_scores
+from icl.io.scores import write_scores_sharded
 from icl.models.relation import RelationModel
 from icl.train import create_train_state, make_relation_train_step
 from icl.train.checkpoint import Checkpointer
@@ -155,12 +155,19 @@ def main(argv=None) -> None:
                  int(state.step), model_dir)
         return
 
-    from icl.cli._common import require_single_process
-    require_single_process("predict")
+    from icl.cli._common import begin_predict
     ckpt = Checkpointer(model_dir)
     state = ckpt.restore(state)
     if ckpt.latest_step is None:
         LOG.warning("no checkpoint in %s — predicting from init", model_dir)
+    # multi-process: this host sweeps images[lo:hi) on a local mesh and the
+    # `.scores` shards merge byte-identically (icl/cli/_common.begin_predict)
+    total_pairs = sum(len(im.pair_ids) for im in ds.images)
+    pmesh, state, table, (lo, hi) = begin_predict(
+        args, rt, state, table, len(ds.images))
+    if (lo, hi) != (0, len(ds.images)):
+        import dataclasses
+        ds = dataclasses.replace(ds, images=ds.images[lo:hi])
     predict = make_relation_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
     sd = ScoreDict(labels=list(RELATION_CLASSES))
@@ -192,7 +199,7 @@ def main(argv=None) -> None:
     pending: collections.deque = collections.deque()
     for b in prefetch(batcher.batches(ds), depth=4):
         jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                         rt.mesh)
+                         pmesh)
         pending.append((b, predict(state.params, table, jb)))
         if len(pending) > 3:
             _consume(*pending.popleft())
@@ -206,7 +213,7 @@ def main(argv=None) -> None:
         params_np = jax.tree.map(np.asarray, state.params)
         for b in batcher.batches(ds):
             jb = shard_batch({k: jnp.asarray(v) for k, v in b.arrays.items()},
-                             rt.mesh)
+                             pmesh)
             p_jax = np.asarray(predict(state.params, table, jb))
             p_oracle = oracle_relation(params_np, emb.table, b.arrays)
             valid = b.arrays["pair_valid"]
@@ -217,12 +224,17 @@ def main(argv=None) -> None:
                 break
         report_parity(max_diff)
     order = [pid for im in ds.images for pid in im.pair_ids]
-    out = np.stack([probs_by_id[pid] for pid in order])
+    out = (np.stack([probs_by_id[pid] for pid in order]) if order
+           else np.zeros((0, len(RELATION_CLASSES))))
     scores_path = default_scores_path(args, "relation")
-    write_scores(scores_path, order, out, class_order=RELATION_CLASSES,
-                 meta={"task": "relation", "split": args.data_split,
-                       "checkpoint_step": int(state.step)})
-    LOG.info("wrote %d scores to %s", len(order), scores_path)
+    write_scores_sharded(scores_path, order, out,
+                         num_classes=len(RELATION_CLASSES),
+                         total_examples=total_pairs,
+                         class_order=RELATION_CLASSES,
+                         meta={"task": "relation", "split": args.data_split,
+                               "checkpoint_step": int(state.step)})
+    LOG.info("wrote %d scores (%d total) to %s", len(order), total_pairs,
+             scores_path)
     if args.eval:
         print(sd.table())
 

@@ -117,6 +117,49 @@ def local_data_rows(mesh: Mesh, global_rows: int) -> tuple[int, int]:
     return mine[0] * per, (mine[-1] + 1) * per
 
 
+def predict_mesh(mesh: Mesh) -> Mesh:
+    """The mesh a `.scores` predict sweep should run on.
+
+    Single-process: the global mesh unchanged.  Multi-process: a fresh
+    all-local-devices data-axis mesh — predict partitions *examples* across
+    processes (each host sweeps its own contiguous dataset slice fully
+    independently, then process 0 merges the part files; SURVEY §4.2 at
+    pod scale, VERDICT r3 missing#2), so the per-host program must touch
+    only addressable devices: no collectives, no lockstep dispatch, and a
+    host finishing early cannot stall the others.
+    """
+    if jax.process_count() == 1:
+        return mesh
+    return build_mesh(None, jax.local_devices())
+
+
+def predict_partition(n: int) -> tuple[int, int]:
+    """Contiguous [lo, hi) slice of n dataset examples owned by THIS process.
+
+    Deterministic balanced split in dataset order — process k's slice
+    directly precedes process k+1's, so concatenating the per-process
+    `.scores` part files in process order reproduces the single-process
+    file byte-for-byte.  Remainder examples go to the lowest ranks.
+    """
+    p, k = jax.process_count(), jax.process_index()
+    base, rem = divmod(n, p)
+    lo = k * base + min(k, rem)
+    return lo, lo + base + (1 if k < rem else 0)
+
+
+def sync_processes(key: str) -> None:
+    """Cross-process barrier (no-op single-process).
+
+    Used by the sharded predict writer: every host must have flushed its
+    `.scores` part file before process 0 concatenates them.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(key)
+
+
 def shard_batch_local(local_batch: Any, mesh: Mesh, global_rows: int) -> Any:
     """Assemble a globally-sharded batch from THIS process's local rows.
 

@@ -9,13 +9,14 @@ they are preserved byte-compatibly here.
 """
 
 from icl.io.feats import FeatsExample, read_feats, write_feats, parse_sparse_line
-from icl.io.scores import read_scores, write_scores
+from icl.io.scores import (read_scores, write_scores,
+                           write_scores_sharded)
 from icl.io.captions import Caption, Mention, read_captions, read_mentions
 from icl.io.boxes import read_box_feats, write_box_feats
 
 __all__ = [
     "FeatsExample", "read_feats", "write_feats", "parse_sparse_line",
-    "read_scores", "write_scores",
+    "read_scores", "write_scores", "write_scores_sharded",
     "Caption", "Mention", "read_captions", "read_mentions",
     "read_box_feats", "write_box_feats",
 ]

@@ -43,6 +43,14 @@ def write_scores(
     probs = np.asarray(probs, dtype=np.float64)
     if probs.ndim != 2 or probs.shape[0] != len(ids):
         raise ValueError(f"probs shape {probs.shape} does not match {len(ids)} ids")
+    _write_rows(path, ids, probs)
+    _write_meta(path, len(ids), int(probs.shape[1]), class_order, meta)
+
+
+def _write_rows(path: str, ids: Sequence[str], probs: np.ndarray) -> None:
+    """The §6.2 row bytes only (no meta sidecar) — shared by the plain and
+    the sharded writers so part files go through the identical formatting
+    chain (native fast path included)."""
     wrote = False
     try:
         # C++ fast path (byte-identical to the Python loop; tested)
@@ -55,7 +63,11 @@ def write_scores(
         with open(path, "w", encoding="utf-8", newline="\n") as f:
             for eid, row in zip(ids, probs):
                 f.write(eid + "," + ",".join(f"{p:.6f}" for p in row) + "\n")
-    info = {"num_examples": len(ids), "num_classes": int(probs.shape[1])}
+
+
+def _write_meta(path: str, n: int, c: int,
+                class_order: Sequence[str] | None, meta: dict | None) -> None:
+    info = {"num_examples": n, "num_classes": c}
     if class_order is not None:
         info["class_order"] = list(class_order)
     if meta:
@@ -75,6 +87,58 @@ def write_scores(
     with open(path + ".meta.json", "w", encoding="utf-8") as f:
         json.dump(info, f, indent=2, sort_keys=True)
         f.write("\n")
+
+
+def write_scores_sharded(
+    path: str,
+    local_ids: Sequence[str],
+    local_probs: np.ndarray,
+    num_classes: int,
+    total_examples: int,
+    class_order: Sequence[str] | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Multi-process `.scores` write (SURVEY §4.2 at pod scale).
+
+    Each process holds the probabilities for its own *contiguous* slice of
+    the dataset order (:func:`icl.dist.mesh.predict_partition`) and writes
+    them to ``<path>.part-<k>`` through the same formatting chain as
+    :func:`write_scores`; after a barrier, process 0 concatenates the parts
+    in process order — byte-identical to a single-process write of the full
+    arrays — writes the meta sidecar with the GLOBAL example count, and a
+    second barrier lets every process delete its own part file.
+
+    Single-process calls degrade to plain :func:`write_scores`.
+    """
+    probs = np.asarray(local_probs, dtype=np.float64)
+    if probs.size == 0:
+        probs = probs.reshape(0, num_classes)   # empty slice on a big pod
+    if probs.ndim != 2 or probs.shape[0] != len(local_ids) \
+            or probs.shape[1] != num_classes:
+        raise ValueError(f"probs shape {probs.shape} does not match "
+                         f"{len(local_ids)} ids x {num_classes} classes")
+    import jax
+
+    if jax.process_count() == 1:
+        _write_rows(path, local_ids, probs)
+        _write_meta(path, total_examples, num_classes, class_order, meta)
+        return
+    from icl.dist.mesh import sync_processes
+
+    k = jax.process_index()
+    part = f"{path}.part-{k:05d}"
+    _write_rows(part, local_ids, probs)
+    sync_processes(f"icl:scores:parts:{os.path.basename(path)}")
+    if k == 0:
+        import shutil
+
+        with open(path, "wb") as out:
+            for i in range(jax.process_count()):
+                with open(f"{path}.part-{i:05d}", "rb") as f:
+                    shutil.copyfileobj(f, out)
+        _write_meta(path, total_examples, num_classes, class_order, meta)
+    sync_processes(f"icl:scores:merged:{os.path.basename(path)}")
+    os.remove(part)   # each process owns (wrote) exactly this file
 
 
 def read_scores(path: str) -> tuple[list[str], np.ndarray]:

@@ -61,3 +61,25 @@ def test_dedup_shard_sum_replicated_model_axis():
     assert _dedup_shard_sum(shards, total_size=4) == 3
     # half-covered global array scales by covered fraction, not devices
     assert _dedup_shard_sum(shards[:2], total_size=8) == 2 * (8 // 2)
+
+
+def test_predict_partition_covers_contiguously(monkeypatch):
+    """Union of all processes' [lo, hi) slices is exactly [0, n) in
+    process order (the sharded-`.scores` merge concatenates parts in that
+    order, so coverage + contiguity is the byte-identity precondition)."""
+    import jax
+
+    from icl.dist.mesh import predict_partition
+
+    for p in (1, 2, 3, 8):
+        for n in (0, 1, 7, 8, 25):
+            monkeypatch.setattr(jax, "process_count", lambda p=p: p)
+            cuts = []
+            for k in range(p):
+                monkeypatch.setattr(jax, "process_index", lambda k=k: k)
+                cuts.append(predict_partition(n))
+            assert cuts[0][0] == 0 and cuts[-1][1] == n
+            for (a, b), (c, d) in zip(cuts, cuts[1:]):
+                assert b == c and a <= b and c <= d
+            sizes = [hi - lo for lo, hi in cuts]
+            assert max(sizes) - min(sizes) <= 1   # balanced
