@@ -77,6 +77,12 @@ def test_two_process_dp_matches_single_process(tmp_path, which):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # device count set in-worker via config API
+    # the workers must find icl/ regardless of how pytest itself was
+    # launched (python -m pytest puts the cwd on the PARENT's sys.path
+    # only; the script-invoked child gets tests/dist instead)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path),
          which],
