@@ -36,6 +36,20 @@ class SynthConfig:
     max_mentions_per_caption: int = 3
     max_boxes_per_image: int = 6
     seed: int = 0
+    # planted=True makes every task label a DETERMINISTIC function of the
+    # observable features (entity word / box signature), so trained models
+    # can be gated on held-out accuracy targets (VERDICT r3 weak#1) instead
+    # of loss trends.  Default keeps the historical noisy-tendency labels:
+    #  - entity words per image are drawn WITHOUT replacement (coref =
+    #    same-word becomes exact, no cross-entity word collisions),
+    #  - relation: coref iff w_i == w_j; subset_ij iff w_j == w_i + 1
+    #    (mod vocab/2); subset_ji symmetric; else null — a pure function
+    #    of the two span head words,
+    #  - affinity: every image has exactly max_boxes_per_image boxes and
+    #    the entity's box is entity_word % n_boxes — a pure function of
+    #    (span word, box signature),
+    #  - nonvisual was already planted (top-half-vocab head word).
+    planted: bool = False
 
 
 def _make_vocab(cfg: SynthConfig) -> list[str]:
@@ -84,9 +98,16 @@ def generate_dataset(data_dir: str, split: str = "train",
         # each image has a set of "entities"; mentions referring to the same
         # entity share a word prefix bucket, making coref learnable
         n_entities = int(rng.integers(2, 5))
-        entity_words = rng.integers(0, cfg.vocab_size // 2, size=n_entities)
-        n_boxes = int(rng.integers(2, cfg.max_boxes_per_image + 1))
-        entity_box = rng.integers(0, n_boxes, size=n_entities)
+        if cfg.planted:
+            entity_words = rng.choice(cfg.vocab_size // 2, size=n_entities,
+                                      replace=False)
+            n_boxes = cfg.max_boxes_per_image
+            entity_box = entity_words % n_boxes
+        else:
+            entity_words = rng.integers(0, cfg.vocab_size // 2,
+                                        size=n_entities)
+            n_boxes = int(rng.integers(2, cfg.max_boxes_per_image + 1))
+            entity_box = rng.integers(0, n_boxes, size=n_entities)
 
         for ci in range(cfg.captions_per_image):
             length = int(rng.integers(cfg.min_caption_len, cfg.max_caption_len + 1))
@@ -104,7 +125,10 @@ def generate_dataset(data_dir: str, split: str = "train",
                 w = (int(rng.integers(cfg.vocab_size // 2, cfg.vocab_size)) if nonvis
                      else int(entity_words[ent]))
                 toks[start] = words[w]
-                end = min(start + int(rng.integers(0, 2)), length - 1)
+                # planted mode: single-token spans — a random second token
+                # would pollute the span's word identity, which IS the label
+                end = (start if cfg.planted
+                       else min(start + int(rng.integers(0, 2)), length - 1))
                 # clamp below the next span start (spans are sorted and
                 # distinct, so prior clamps already keep prev_last < start)
                 if mi + 1 < len(spans) and end >= spans[mi + 1]:
@@ -132,7 +156,24 @@ def generate_dataset(data_dir: str, split: str = "train",
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 ei, ej = ms[i]._entity, ms[j]._entity  # type: ignore[attr-defined]
-                if ei >= 0 and ei == ej:
+                if cfg.planted and ei >= 0 and ej >= 0:
+                    # word-parity rule (SynthConfig.planted): each class is
+                    # a function of the two span head words SEPARATELY
+                    # (same-word / even-odd / odd-even / rest), so a model
+                    # that learns 8-16 word identities generalizes to
+                    # held-out pairs — a successor-style joint rule needs
+                    # full pair-space coverage and gates memorization, not
+                    # learning (piloted: 0.88 vs 0.98 dev accuracy)
+                    wi, wj = int(entity_words[ei]), int(entity_words[ej])
+                    if wi == wj:
+                        lbl = 1
+                    elif wi % 2 == 0 and wj % 2 == 1:
+                        lbl = 2
+                    elif wi % 2 == 1 and wj % 2 == 0:
+                        lbl = 3
+                    else:
+                        lbl = 0
+                elif ei >= 0 and ei == ej:
                     lbl = 1
                 elif ei >= 0 and ej >= 0 and (ei, ej) == (0, 1):
                     lbl = 2
@@ -149,6 +190,11 @@ def generate_dataset(data_dir: str, split: str = "train",
         for b in range(n_boxes):
             # give each box a signature aligned with its entities' words
             feats[b, :8] += b
+            if cfg.planted:
+                # an explicit near-one-hot index signature: the planted
+                # affinity label (b == word % n_boxes) must be recoverable
+                # over the N(0,1) per-instance noise
+                feats[b, 8 + b] += 4.0
             box_ids.append(make_box_id(img_id, b))
             box_feats.append(feats[b])
         for m in img_mentions:
