@@ -28,6 +28,9 @@ def caption_words(path: str):
         return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.cap_fallback(ctypes.c_void_p(handle))):
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.cap_fallback_line(
+                ctypes.c_void_p(handle))), "captions")
             return None
         ndocs = int(lib.cap_num_docs(ctypes.c_void_p(handle)))
         docs_size = int(lib.cap_docs_size(ctypes.c_void_p(handle)))
@@ -91,6 +94,9 @@ def parse_captions(path: str, vocab_words: list[str]):
         return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.cap_fallback(ctypes.c_void_p(handle))):
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.cap_fallback_line(
+                ctypes.c_void_p(handle))), "captions")
             return None
         n = int(lib.cap_num(ctypes.c_void_p(handle)))
         ndocs = int(lib.cap_num_docs(ctypes.c_void_p(handle)))

@@ -31,7 +31,11 @@ def parse_feats_file(path: str):
         return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.feats_needs_python(ctypes.c_void_p(handle))):
-            return None   # non-ASCII could change tokenization — Python path
+            # non-ASCII could change tokenization — Python path
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.feats_fallback_line(
+                ctypes.c_void_p(handle))), "feats")
+            return None
         n = lib.feats_num_examples(handle)
         nnz = lib.feats_num_entries(handle)
         idlen = lib.feats_id_buffer_size(handle)
@@ -82,7 +86,11 @@ def parse_feats_labels(path: str):
         return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):
-            return None   # non-ASCII could change tokenization — Python path
+            # non-ASCII could change tokenization — Python path
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.featsl_fallback_line(
+                ctypes.c_void_p(handle))), "feats")
+            return None
         n = int(lib.featsl_num(handle))
         idlen = int(lib.featsl_id_buffer_size(handle))
         _warn_skipped(path, int(lib.featsl_num_skipped(handle)))
@@ -141,11 +149,23 @@ def parse_feats_ids(path: str, kind: str):
     table = None
     try:
         if int(lib.featsl_needs_python(ctypes.c_void_p(handle))):
-            return None   # non-ASCII could change tokenization — Python path
+            # non-ASCII could change tokenization — Python path
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.featsl_fallback_line(
+                ctypes.c_void_p(handle))), "feats")
+            return None
         n = int(lib.featsl_num(handle))
         table = lib.featsl_parse_ids(ctypes.c_void_p(handle),
                                      ctypes.c_int32(knum))
-        if int(lib.idt_bad_row(ctypes.c_void_p(table))) >= 0:
+        bad = int(lib.idt_bad_row(ctypes.c_void_p(table)))
+        if bad >= 0:
+            from icl.util.log import LOG
+            LOG.warning("%s: native fast-path load demoted to the pure-"
+                        "Python parser (example #%d's id does not match "
+                        "the strict §6.1 %s grammar) — results are "
+                        "identical but the load is ~4x slower; run "
+                        "`icl-check` to locate such ids", path, bad + 1,
+                        kind)
             return None
         _warn_skipped(path, int(lib.featsl_num_skipped(handle)))
         labels = np.empty(max(n, 1), np.float64)

@@ -32,6 +32,9 @@ def parse_mentions(path: str):
         return None   # unreadable: the Python path raises the real error
     try:
         if int(lib.men_fallback(ctypes.c_void_p(handle))):
+            from icl.native import warn_demoted
+            warn_demoted(path, int(lib.men_fallback_line(
+                ctypes.c_void_p(handle))), "mentions")
             return None
         n = int(lib.men_num(ctypes.c_void_p(handle)))
         ndocs = int(lib.men_num_docs(ctypes.c_void_p(handle)))
