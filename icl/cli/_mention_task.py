@@ -132,6 +132,11 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         ds = dataclasses.replace(ds, token_ids=ds.token_ids[lo:hi],
                                  lengths=ds.lengths[lo:hi],
                                  labels=ds.labels[lo:hi], ids=ds.ids[lo:hi])
+        # `arrays` was captured from the FULL dataset above — rebuild from
+        # the slice or the bucketizer pairs local lengths/ids with global
+        # feature rows (caught by the 2-process merge test)
+        arrays = {"token_ids": ds.token_ids, "lengths": ds.lengths,
+                  "labels": ds.labels}
     predict = make_mention_predict(model.apply)
     probs_by_id: dict[str, np.ndarray] = {}
 

@@ -139,7 +139,10 @@ def predict_partition(n: int) -> tuple[int, int]:
     Deterministic balanced split in dataset order — process k's slice
     directly precedes process k+1's, so concatenating the per-process
     `.scores` part files in process order reproduces the single-process
-    file byte-for-byte.  Remainder examples go to the lowest ranks.
+    file's row ORDER exactly (the merge itself is byte-exact; the float
+    values agree with a single-host sweep to ~1e-7, since a different
+    device count vectorizes per-row reductions differently — within one
+    ulp of the %.6f score format).  Remainder goes to the lowest ranks.
     """
     p, k = jax.process_count(), jax.process_index()
     base, rem = divmod(n, p)
