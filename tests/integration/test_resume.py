@@ -198,3 +198,31 @@ def test_resume_skips_without_host_replay(tmp_path, synth_dir, emb):
     # the remaining one — no host-side replay of trained batches
     assert skips_seen == [1]
     assert built == [1]
+
+
+def test_async_save_join_and_roundtrip(tmp_path, synth_dir, emb):
+    """Periodic saves run their host pull on a background thread (r4,
+    VERDICT r3 weak#2); every other manager op joins it first, so
+    latest_step/restore/wait must observe the save as if synchronous, and
+    the restored state must be byte-equal to what was saved."""
+    from icl.train.checkpoint import Checkpointer
+
+    model, pooled, table, args = _setup(synth_dir, emb)
+    state = create_train_state(model, (pooled,), seed=3)
+    step = make_mention_train_step(donate=False)
+    state, _ = step(state, table, *args)
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(state)                      # async path (no wait/force)
+    assert ck.latest_step == int(state.step)   # join-before-read
+    ck.wait()                           # durable
+    skel = create_train_state(model, (pooled,), seed=99)
+    restored = ck.restore(skel)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second async save at a new step supersedes the first
+    state2, _ = step(state, table, *args)
+    ck.save(state2)
+    assert ck.latest_step == int(state2.step)
+    ck.close()

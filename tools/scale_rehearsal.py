@@ -149,6 +149,74 @@ def _train_capped(task, ds, emb, steps, ipb, ckpt_dir=None, resume="none",
             "final_step": final_step}
 
 
+def measure_ckpt_wall(n_saves: int = 5) -> dict:
+    """Checkpoint save cost at production dims (VERDICT r3 weak#2).
+
+    ``Checkpointer.save`` synchronously pulls the FULL state (params +
+    Adam moments) to host numpy before the orbax enqueue; at the 2.15 ms
+    device step, every 10 ms of save wall stalls ~5 steps.  Measures, on
+    a fresh relation state at production dims (lstm 200 / head 800):
+
+    * ``save_call_s`` — what the training loop blocks on per save
+      (host pull + orbax enqueue; orbax finalizes async),
+    * ``save_durable_s`` — save + wait_until_finished (full durability),
+    * ``state_mb`` — the host payload the pull materializes.
+
+    Dataset-independent, so it runs on a tiny synthetic batch.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from icl.dist.mesh import build_mesh, replicate
+    from icl.models import RelationModel
+    from icl.train import create_train_state
+    from icl.train.checkpoint import Checkpointer
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(1000, 300)).astype(np.float32))
+    batch = ge._synth_relation_batch(rng, I=2, C=2, L=8, M=4, vocab=1000)
+    model = RelationModel(lstm_hidden=200, head_hidden=800)
+    state = create_train_state(model, (table, batch), seed=0)
+    state = replicate(state, build_mesh(None))
+    payload = jax.tree.map(np.asarray, (state.params, state.opt_state))
+    state_mb = sum(x.nbytes for x in jax.tree.leaves(payload)) / 2**20
+
+    # every save must see FRESH device arrays: jax caches pulled host
+    # values per buffer, so re-saving untouched params measures a no-op
+    # pull (61 ms) instead of the real one (~0.6 s batched) — the r4
+    # measurement bug that first hid the true cost
+    @jax.jit
+    def perturb(params):
+        return jax.tree.map(lambda x: x * (1.0 + 1e-6), params)
+
+    ck = tempfile.mkdtemp(prefix="icl_ckpt_wall_")
+    try:
+        ckpt = Checkpointer(ck, max_to_keep=2)
+        calls, durable = [], []
+        for i in range(n_saves):
+            state = state.replace(step=state.step + 1,
+                                  params=perturb(state.params),
+                                  opt_state=state.opt_state)
+            t0 = time.perf_counter()
+            ckpt.save(state)
+            calls.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ckpt.wait()
+            durable.append(calls[-1] + time.perf_counter() - t0)
+        ckpt.close()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return {"state_mb": round(state_mb, 1),
+            "save_call_s": round(min(calls), 3),
+            "save_call_max_s": round(max(calls), 3),
+            "save_durable_s": round(min(durable), 3),
+            "n_saves": n_saves}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", default="/tmp/icl_scale_data")
