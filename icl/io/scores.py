@@ -108,6 +108,10 @@ def write_scores_sharded(
     arrays — writes the meta sidecar with the GLOBAL example count, and a
     second barrier lets every process delete its own part file.
 
+    ``path`` must live on storage visible to every process (the same
+    contract the orbax checkpoint directory already carries on a pod) —
+    without it, process 0's merge fails loudly with the missing part path.
+
     Single-process calls degrade to plain :func:`write_scores`.
     """
     probs = np.asarray(local_probs, dtype=np.float64)
