@@ -48,7 +48,10 @@ class SynthConfig:
     #  - affinity: every image has exactly max_boxes_per_image boxes and
     #    the entity's box is entity_word % n_boxes — a pure function of
     #    (span word, box signature),
-    #  - nonvisual was already planted (top-half-vocab head word).
+    #  - nonvisual was already planted (top-half-vocab head word),
+    #  - cardinality: 0 for nonvisual mentions, else 1 + (word % 2) — the
+    #    default's 1 + (entity_index % 2) is NOT observable (the same word
+    #    can be entity 0 in one image and entity 1 in another).
     planted: bool = False
 
 
@@ -145,7 +148,14 @@ def generate_dataset(data_dir: str, split: str = "train",
                 cap_ments.append(m)
                 lbl = 1 if nonvis else 0
                 nonvis_rows.append(_sparse_row(rng, m.mention_id, lbl))
-                card = 0 if nonvis else int(1 + (ent % 2))
+                # planted: a function of the OBSERVABLE head word (module
+                # comment) — the entity index is per-image bookkeeping.
+                # NB: look the word up from ent; the planning loop's `w`
+                # is stale here (it holds the LAST mention's word)
+                card = (0 if nonvis
+                        else int(1 + (int(entity_words[ent]) % 2))
+                        if cfg.planted
+                        else int(1 + (ent % 2)))
                 card_rows.append(_sparse_row(rng, m.mention_id, card))
             captions.append(Caption(img_id=img_id, cap_idx=ci, tokens=toks))
             mentions.extend(cap_ments)

@@ -86,17 +86,33 @@ def test_affinity_converges(planted, tmp_path):
     assert acc >= 0.95, f"affinity dev accuracy {acc:.3f}"
 
 
+def _mention_cli_acc(cli, task, planted, tmp_path, epochs):
+    model = tmp_path / f"{task}.model"
+    scores = tmp_path / f"{task}.scores"
+    common = ["--data_dir", str(planted), "--batch_size", "64",
+              "--mesh", "8", "--model_file", str(model)]
+    cli.main(["--train", "--data_split", "train", "--epochs", str(epochs),
+              "--hidden_width", "32", "--dropout", "0.0",
+              "--seed", "3", "--learn_rate", "0.01", *common])
+    cli.main(["--predict", "--data_split", "dev",
+              "--scores_file", str(scores), *common])
+    return _dev_accuracy(scores, planted / f"dev.{task}.feats")
+
+
 def test_nonvisual_converges(planted, tmp_path):
     from icl.cli import nonvisual
 
-    model = tmp_path / "nv.model"
-    scores = tmp_path / "nv.scores"
-    common = ["--data_dir", str(planted), "--batch_size", "64",
-              "--mesh", "8", "--model_file", str(model)]
-    nonvisual.main(["--train", "--data_split", "train", "--epochs", "12",
-                    "--hidden_width", "32", "--dropout", "0.0",
-                    "--seed", "3", "--learn_rate", "0.01", *common])
-    nonvisual.main(["--predict", "--data_split", "dev",
-                    "--scores_file", str(scores), *common])
-    acc = _dev_accuracy(scores, planted / "dev.nonvisual.feats")
+    acc = _mention_cli_acc(nonvisual, "nonvisual", planted, tmp_path,
+                           epochs=12)
     assert acc >= 0.98, f"nonvisual dev accuracy {acc:.3f}"
+
+
+def test_cardinality_converges(planted, tmp_path):
+    """Planted label: 0 for nonvisual mentions, else 1 + (head word % 2) —
+    a pure function of the mention text, so the 12-class FFNN must nail it
+    (completes held-out quality gates for all four task families)."""
+    from icl.cli import cardinality
+
+    acc = _mention_cli_acc(cardinality, "cardinality", planted, tmp_path,
+                           epochs=12)
+    assert acc >= 0.98, f"cardinality dev accuracy {acc:.3f}"
