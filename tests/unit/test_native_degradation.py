@@ -57,11 +57,32 @@ def test_missing_library_stays_unavailable(tmp_path, monkeypatch,
     assert native.available() is False
 
 
-def test_demotion_warning_carries_file_and_line(tmp_path, capsys):
+@pytest.fixture
+def icl_log_capture():
+    """Capture icl's LOG records via a temporary handler.
+
+    The logger doesn't propagate (caplog sees nothing) and its stderr
+    StreamHandler binds whatever ``sys.stderr`` existed when the FIRST test
+    touched LOG — under capsys that is some earlier test's capture stream,
+    so reading this test's capsys is order-dependent (failed in the full
+    suite, passed standalone).  A scoped handler is deterministic."""
+    import io
+    import logging
+
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    log = logging.getLogger("icl")
+    log.addHandler(h)
+    try:
+        yield buf
+    finally:
+        log.removeHandler(h)
+
+
+def test_demotion_warning_carries_file_and_line(tmp_path, icl_log_capture):
     """A whole-load fallback must say WHICH line triggered it (VERDICT r3
     weak#5): one stray non-ASCII byte in millions of rows demotes the load
-    4x and the user needs a route back to the fast path.  (icl's LOG does
-    not propagate, so assertions read the stderr handler, not caplog.)"""
+    4x and the user needs a route back to the fast path."""
     from icl.native.feats import parse_feats_file, parse_feats_labels
 
     if not native.available():
@@ -73,13 +94,13 @@ def test_demotion_warning_carries_file_and_line(tmp_path, capsys):
                   b"0.0 2:1.5 # doc:b;mention:1\n"
                   b"1.0 3:0.5 # \xc2\xa0doc:c;mention:2\n")
     assert parse_feats_file(str(p)) is None
-    err = capsys.readouterr().err
+    err = icl_log_capture.getvalue()
     assert "line 3" in err and "t.feats" in err and "icl-check" in err, err
     assert parse_feats_labels(str(p)) is None
-    assert "line 3" in capsys.readouterr().err
+    assert icl_log_capture.getvalue().count("line 3") >= 2
 
 
-def test_mentions_demotion_warning_line(tmp_path, capsys):
+def test_mentions_demotion_warning_line(tmp_path, icl_log_capture):
     from icl.native.mentions import parse_mentions
 
     if not native.available():
@@ -89,7 +110,7 @@ def test_mentions_demotion_warning_line(tmp_path, capsys):
                  "doc:a.jpg;caption:0;mention:1\t1,2\n"
                  "not-an-id\t0,1\n")
     assert parse_mentions(str(p)) is None
-    err = capsys.readouterr().err
+    err = icl_log_capture.getvalue()
     assert "line 3" in err and "m.txt" in err, err
 
 
