@@ -56,6 +56,17 @@ def main(argv=None) -> None:
               "--dropout", str(args.dropout)]
     if args.mesh:
         common += ["--mesh", args.mesh]
+    # multi-host sweep: forward the bootstrap flags so every sub-CLI runs
+    # its sharded predict (the first initializes jax.distributed; the rest
+    # reuse it — icl.runtime.init is idempotent per topology).  Silently
+    # dropping these would make every pod process sweep the FULL split and
+    # race on the same .scores paths.
+    if args.coordinator:
+        common += ["--coordinator", args.coordinator]
+    if args.num_processes is not None:
+        common += ["--num_processes", str(args.num_processes)]
+    if args.process_id is not None:
+        common += ["--process_id", str(args.process_id)]
     if args.matmul_precision:
         common += ["--matmul_precision", args.matmul_precision]
     if args.hidden_width:

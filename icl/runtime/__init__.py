@@ -45,12 +45,27 @@ def init(topology: str | None = None, seed: int = 0,
         if coordinator is None or num_processes is None:
             raise ValueError("--process_id requires --coordinator and "
                              "--num_processes (directly or via --config)")
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-        LOG.info("distributed: process %d/%d via %s; %d global device(s)",
-                 jax.process_index(), jax.process_count(), coordinator,
-                 jax.device_count())
+        if jax.distributed.is_initialized():
+            # idempotent re-entry: icl-joint runs several task mains inside
+            # ONE process, so the 2nd+ init must reuse the bootstrap (jax
+            # hard-errors on double initialize) — but only if it describes
+            # the SAME topology this process already joined
+            if (jax.process_count() != num_processes
+                    or jax.process_index() != process_id):
+                raise ValueError(
+                    f"distributed already initialized as process "
+                    f"{jax.process_index()}/{jax.process_count()} — "
+                    f"conflicting --process_id {process_id}/"
+                    f"--num_processes {num_processes}")
+            LOG.info("distributed: reusing bootstrap (process %d/%d)",
+                     jax.process_index(), jax.process_count())
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            LOG.info("distributed: process %d/%d via %s; %d global "
+                     "device(s)", jax.process_index(), jax.process_count(),
+                     coordinator, jax.device_count())
     elif coordinator is not None:
         LOG.warning("coordinator %s configured but no --process_id given: "
                     "running single-process (scaled-down mode)", coordinator)

@@ -322,3 +322,49 @@ def test_cli_two_process_mention_predict_merges(cli_data, tmp_path):
     for rc, out in res:
         assert rc == 0, out
     _assert_scores_equiv(s2, s1)
+
+
+def test_cli_two_process_joint_forwards_bootstrap(cli_data, tmp_path):
+    """icl-joint on a pod: the wrapper must FORWARD the bootstrap flags so
+    each sub-CLI runs its sharded sweep (dropping them would leave every
+    process single-process, sweeping the FULL split and racing on the same
+    default `.scores` paths), and icl.runtime.init must be idempotent —
+    the relation/affinity mains re-enter it in the same process after
+    nonvisual already initialized jax.distributed.
+
+    Predict-from-init keeps this cheap: identical seeds give identical
+    init params, so no training is needed for the merge contract."""
+    import shutil
+
+    data = tmp_path / "data"
+    shutil.copytree(cli_data, data)
+    base = ["--predict", "--data_dir", str(data), "--data_split", "train",
+            "--images_per_batch", "8", "--batch_size", "16",
+            "--lstm_hidden_width", "6", "--hidden_width", "8",
+            "--seed", "7", "--mesh", "8x1"]
+    tasks = ("nonvisual", "relation", "affinity")
+
+    def grab(tag):
+        out = {}
+        for t in tasks:
+            p = data / f"train.{t}.scores"
+            assert p.exists(), f"{tag}: {p} missing"
+            out[t] = p.read_bytes()
+            p.rename(tmp_path / f"{tag}.{t}.scores")
+        return out
+
+    res = _run_workers([(8, "joint", list(base))])
+    assert res[0][0] == 0, res[0][1]
+    single = grab("s")
+    port = _free_port()
+    res = _run_workers([(4, "joint", base + _dist(port, pid))
+                        for pid in range(2)])
+    for rc, out in res:
+        assert rc == 0, out
+        # the sharded path actually ran in every sub-CLI
+        assert out.count("sharded predict") >= len(tasks), out
+    grab("m")
+    for t in tasks:
+        _assert_scores_equiv(tmp_path / f"m.{t}.scores",
+                             tmp_path / f"s.{t}.scores")
+    assert not list(data.glob("*.part-*")), "part files not cleaned up"
