@@ -189,7 +189,7 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
     return args
 
 
-def begin_predict(args, rt, state, table, n_examples: int):
+def begin_predict(args, rt, state, table, n_examples: int, weights=None):
     """Set up the (possibly multi-host) predict sweep.
 
     Single-process: returns ``(rt.mesh, state, table, (0, n_examples))`` —
@@ -201,6 +201,10 @@ def begin_predict(args, rt, state, table, n_examples: int):
     the returned ``[lo, hi)`` slice tells the caller which examples this
     host owns.  The per-host `.scores` shards merge via
     :func:`icl.io.scores.write_scores_sharded`.
+
+    ``weights``: optional per-example sweep cost (pair/cell counts for the
+    image-keyed tasks) — balances host wall-clock, not just example counts
+    (:func:`icl.dist.mesh.predict_partition`).
 
     ``--eval`` stays single-process: its ScoreDict table needs global
     counts — `icl-eval` over the merged `.scores` is the pod-scale path.
@@ -225,7 +229,7 @@ def begin_predict(args, rt, state, table, n_examples: int):
     # local mesh unconditional and cross-mesh-transfer free
     state = replicate(jax.tree.map(np.asarray, state), mesh)
     table = replicate(np.asarray(table), mesh)
-    lo, hi = predict_partition(n_examples)
+    lo, hi = predict_partition(n_examples, weights)
     LOG.info("sharded predict: process %d/%d sweeps examples [%d, %d) "
              "on %d local devices", jax.process_index(),
              jax.process_count(), lo, hi, len(jax.local_devices()))

@@ -133,7 +133,7 @@ def predict_mesh(mesh: Mesh) -> Mesh:
     return build_mesh(None, jax.local_devices())
 
 
-def predict_partition(n: int) -> tuple[int, int]:
+def predict_partition(n: int, weights=None) -> tuple[int, int]:
     """Contiguous [lo, hi) slice of n dataset examples owned by THIS process.
 
     Deterministic balanced split in dataset order — process k's slice
@@ -142,9 +142,31 @@ def predict_partition(n: int) -> tuple[int, int]:
     file's row ORDER exactly (the merge itself is byte-exact; the float
     values agree with a single-host sweep to ~1e-7, since a different
     device count vectorizes per-row reductions differently — within one
-    ulp of the %.6f score format).  Remainder goes to the lowest ranks.
+    ulp of the %.6f score format).
+
+    ``weights`` (optional, len n): per-example sweep cost.  Relation and
+    affinity "examples" are IMAGES whose pair/cell counts vary, so an
+    equal-count split can leave one host sweeping far more rows than
+    another — and the merge barrier waits on the slowest.  With weights,
+    boundary k lands where the cumulative cost crosses k/p of the total
+    (every process computes the same boundaries from the same dataset
+    order).  Without weights: equal counts, remainder to the lowest ranks.
     """
     p, k = jax.process_count(), jax.process_index()
+    if weights is not None and n > 0:
+        cum = np.cumsum(np.asarray(weights, np.float64))
+        assert cum.shape == (n,), (cum.shape, n)
+        if cum[-1] > 0:
+            targets = cum[-1] * np.arange(1, p) / p
+            # +1: the example whose cumulative cost CROSSES target k joins
+            # the earlier slice — a single dominant example then occupies
+            # its own slice instead of pushing everything onto the last
+            # host.  Boundaries stay monotone (searchsorted is, +1 uniform)
+            # and <= n (targets < total), so every slice is a valid,
+            # possibly empty, range and each slice's cost < fair + max(w).
+            bounds = np.searchsorted(cum, targets, side="left") + 1
+            bounds = np.concatenate([[0], bounds, [n]]).astype(int)
+            return int(bounds[k]), int(min(bounds[k + 1], n))
     base, rem = divmod(n, p)
     lo = k * base + min(k, rem)
     return lo, lo + base + (1 if k < rem else 0)

@@ -83,3 +83,38 @@ def test_predict_partition_covers_contiguously(monkeypatch):
                 assert b == c and a <= b and c <= d
             sizes = [hi - lo for lo, hi in cuts]
             assert max(sizes) - min(sizes) <= 1   # balanced
+
+
+def test_predict_partition_weighted_balances_cost(monkeypatch):
+    """With per-example costs (pair/cell counts), boundaries land where
+    the cumulative cost crosses k/p of the total: coverage + contiguity
+    hold exactly as in the unweighted case, and no host's cost share can
+    exceed a fair share by more than one example's weight."""
+    import jax
+    import numpy as np
+
+    from icl.dist.mesh import predict_partition
+
+    rng = np.random.default_rng(5)
+    for p in (1, 2, 3, 8):
+        for n in (0, 1, 7, 40):
+            w = rng.integers(0, 50, size=n).astype(float)
+            monkeypatch.setattr(jax, "process_count", lambda p=p: p)
+            cuts = []
+            for k in range(p):
+                monkeypatch.setattr(jax, "process_index", lambda k=k: k)
+                cuts.append(predict_partition(n, weights=w))
+            assert cuts[0][0] == 0 and cuts[-1][1] == n
+            for (a, b), (c, d) in zip(cuts, cuts[1:]):
+                assert b == c and a <= b and c <= d
+            if n and w.sum():
+                costs = [w[lo:hi].sum() for lo, hi in cuts]
+                fair = w.sum() / p
+                assert max(costs) <= fair + w.max()
+    # a pathological skew the equal-count split gets badly wrong: one
+    # heavy example among uniform ones still yields a fair-share+1 split
+    w = np.ones(16); w[0] = 100.0
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    lo, hi = predict_partition(16, weights=w)
+    assert (lo, hi) == (0, 1)   # the heavy example alone crosses 1/2
