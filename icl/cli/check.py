@@ -238,16 +238,28 @@ def _check_boxes(data_dir: str, split: str, rep: Report):
         rep.error(f"{path}: {e}")
         return None
     by_img: dict[str, set[int]] = {}
-    bad = 0
+    bad = dup = 0
+    first_dup = None
     for bid in ids:
         try:
             img, bi = parse_box_id(bid)
         except ValueError:
             bad += 1
             continue
-        by_img.setdefault(img, set()).add(bi)
+        seen = by_img.setdefault(img, set())
+        if bi in seen:
+            dup += 1
+            first_dup = first_dup or bid
+        seen.add(bi)
     if bad:
         rep.error(f"{path}: {bad} box id(s) violate the box-id grammar")
+    if dup:
+        # last-wins is the pinned loader semantics (icl/data/pipeline.py),
+        # but a duplicated id almost always means an upstream export bug —
+        # earlier rows' features are silently unreachable
+        rep.warn(f"{path}: {dup} duplicate box id(s) within an image "
+                 f"(first: {first_dup}) — the affinity loader keeps the "
+                 "LAST occurrence's features")
     rep.info(f"{path}: {len(ids)} boxes / {len(by_img)} images, "
              f"dim {feats.shape[1] if getattr(feats, 'size', 0) else '?'}")
     return by_img

@@ -109,3 +109,20 @@ def test_bad_grammar_and_clipped_span(synth_dir, capsys):
     out = capsys.readouterr().out
     assert "violate the cardinality grammar" in out
     assert "extend past their caption length" in out
+
+
+def test_duplicate_box_id_warns(synth_dir, capsys):
+    import numpy as np
+
+    from icl.io.boxes import read_box_feats, write_box_feats
+
+    path = f"{synth_dir}/train.boxes.npz"
+    ids, feats = read_box_feats(path)
+    ids = list(ids) + [ids[0]]                    # same id, new features
+    feats = np.vstack([feats, feats[:1] + 1.0])
+    write_box_feats(path, ids, feats)
+    _run(["--data_dir", synth_dir, "--task", "affinity"])  # warning only
+    out = capsys.readouterr().out
+    assert "duplicate box id" in out and "LAST occurrence" in out
+    with pytest.raises(SystemExit):              # --strict promotes it
+        _run(["--data_dir", synth_dir, "--task", "affinity", "--strict"])
