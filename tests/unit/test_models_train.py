@@ -181,3 +181,31 @@ def test_grid_loss_eval_mode(synth_dir, emb):
             for name, a, c in zip(["loss_sum", "hits", "nvalid"], out, ref):
                 np.testing.assert_allclose(float(a), float(c), rtol=1e-5,
                                            err_msg=name)
+
+
+def test_host_cell_weights_bitwise_matches_device():
+    """The multi-host eval hook computes its GLOBAL weight normalizer on
+    host (icl.train.evalhook._host_cell_weights) while the device pass
+    uses icl.train.steps._cell_weights — the lockstep early-stop contract
+    rests on the two being bitwise-identical float32, including labels
+    outside [0, K) (weight 0 both sides)."""
+    import numpy as np
+
+    from icl.train.evalhook import _host_cell_weights
+    from icl.train.steps import _cell_weights
+
+    rng = np.random.default_rng(11)
+    labels = rng.integers(-1, 6, size=(7, 13)).astype(np.int32)  # incl. -1/5
+    valid = rng.random((7, 13)) < 0.8
+    cw = np.array([0.3, 1.0, 2.5, 0.7, 1.9], np.float32)
+    import jax.numpy as jnp
+
+    dev = np.asarray(_cell_weights(jnp.asarray(labels), jnp.asarray(valid),
+                                   jnp.asarray(cw)))
+    host = _host_cell_weights(labels, valid, cw)
+    np.testing.assert_array_equal(dev, host)
+    # and the no-class-weights path
+    np.testing.assert_array_equal(
+        np.asarray(_cell_weights(jnp.asarray(labels), jnp.asarray(valid),
+                                 None)),
+        _host_cell_weights(labels, valid, None))
