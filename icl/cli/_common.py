@@ -206,8 +206,9 @@ def begin_predict(args, rt, state, table, n_examples: int, weights=None):
     image-keyed tasks) — balances host wall-clock, not just example counts
     (:func:`icl.dist.mesh.predict_partition`).
 
-    ``--eval`` stays single-process: its ScoreDict table needs global
-    counts — `icl-eval` over the merged `.scores` is the pod-scale path.
+    ``--eval`` shards too: each host accumulates its slice's confusion
+    counts and :func:`icl.eval.scoredict.merge_sharded` sums the (additive)
+    part tables on process 0 — identical to the single-process table.
     """
     import jax
 
@@ -215,11 +216,6 @@ def begin_predict(args, rt, state, table, n_examples: int, weights=None):
 
     if jax.process_count() == 1:
         return rt.mesh, state, table, (0, n_examples)
-    if getattr(args, "eval", False):
-        raise SystemExit(
-            "icl: --eval is single-process (the confusion table needs "
-            "global counts) — drop --eval here and run icl-eval on the "
-            "merged .scores instead")
     import numpy as np
 
     mesh = predict_mesh(rt.mesh)

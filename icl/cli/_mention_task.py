@@ -180,8 +180,13 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     LOG.info("wrote %d scores (%d total) to %s", len(ds.ids),
              total_mentions, scores_path)
     if args.eval:
+        # ds/probs are this host's mention slice under sharded predict; the
+        # merged counts equal the single-process table (see relation.py)
+        from icl.eval.scoredict import merge_sharded
         sd = ScoreDict(labels=list(classes))
         preds = probs.argmax(-1)
         for g, p in zip(ds.labels, preds):
             sd.increment(classes[int(g)], classes[int(p)])
-        print(sd.table())
+        merged = merge_sharded(sd, scores_path)
+        if merged is not None:
+            print(merged.table())

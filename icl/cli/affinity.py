@@ -279,7 +279,11 @@ def main(argv=None) -> None:
                           "per mention (SURVEY §6.5)"})
         LOG.info("wrote %d rank probs to %s", len(order), args.rank_file)
     if args.eval:
-        print(sd.table())
+        # sharded --eval: merged counts ≡ single-process (see relation.py)
+        from icl.eval.scoredict import merge_sharded
+        merged = merge_sharded(sd, scores_path)
+        if merged is not None:
+            print(merged.table())
 
 
 if __name__ == "__main__":

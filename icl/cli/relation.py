@@ -237,7 +237,13 @@ def main(argv=None) -> None:
     LOG.info("wrote %d scores (%d total) to %s", len(order), total_pairs,
              scores_path)
     if args.eval:
-        print(sd.table())
+        # multi-process: each host counted its own image slice; the merged
+        # table equals the single-process one (counts are additive) and only
+        # process 0 prints it
+        from icl.eval.scoredict import merge_sharded
+        merged = merge_sharded(sd, scores_path)
+        if merged is not None:
+            print(merged.table())
 
 
 if __name__ == "__main__":

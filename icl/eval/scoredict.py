@@ -68,6 +68,35 @@ class ScoreDict:
         labels = self.labels
         return sum(self.f1(l) for l in labels) / len(labels) if labels else 0.0
 
+    # -- multi-process merge ----------------------------------------------
+    def state_dict(self) -> dict:
+        """JSON-able snapshot of the raw counts (pair lists, not dicts —
+        JSON objects would stringify non-string labels on round-trip)."""
+        return {"gold": [[k, v] for k, v in self._gold_counts.items()],
+                "pred": [[k, v] for k, v in self._pred_counts.items()],
+                "correct": [[k, v] for k, v in self._correct_counts.items()]}
+
+    def update_state(self, d: dict) -> None:
+        """Add another ScoreDict's :meth:`state_dict` counts into this one.
+
+        Confusion counts are purely additive, so merging per-shard tables
+        reproduces the global table exactly — the basis of the sharded
+        ``--eval`` path (:func:`merge_sharded`).  Labels that arrive as
+        JSON lists (tuple labels round-tripped through a part file) are
+        re-tupled so they hash identically to the originals.
+        """
+        def key(k):
+            return tuple(k) if isinstance(k, list) else k
+
+        for k, v in d["gold"]:
+            self._gold_counts[key(k)] += v
+            self._total += v
+        for k, v in d["pred"]:
+            self._pred_counts[key(k)] += v
+        for k, v in d["correct"]:
+            self._correct_counts[key(k)] += v
+            self._correct += v
+
     # -- reporting -------------------------------------------------------
     def table(self) -> str:
         """Pinned P/R/F1 table (percent, 2 decimals), e.g.::
@@ -93,3 +122,40 @@ class ScoreDict:
 
     def print_scores(self) -> None:
         print(self.table())
+
+
+def merge_sharded(sd: ScoreDict, path: str) -> ScoreDict | None:
+    """Merge per-process ScoreDicts for a sharded ``--eval`` sweep.
+
+    Single-process: returns ``sd`` unchanged.  Multi-process (the sharded
+    predict path of SURVEY §4.2): every process holds the confusion counts
+    of its own example slice; counts are additive, so each writes a small
+    JSON part next to the (shared-storage, same contract as
+    :func:`icl.io.scores.write_scores_sharded`) ``path``, and after a
+    barrier process 0 sums them into the GLOBAL table — identical to a
+    single-process sweep by construction.  Returns the merged ScoreDict on
+    process 0 and ``None`` elsewhere (only one process should print).
+    """
+    import json
+    import os
+
+    import jax
+
+    if jax.process_count() == 1:
+        return sd
+    from icl.dist.mesh import sync_processes
+
+    k = jax.process_index()
+    part = f"{path}.sdpart-{k:05d}"
+    with open(part, "w", encoding="utf-8") as f:
+        json.dump(sd.state_dict(), f)
+    sync_processes(f"icl:sd:parts:{os.path.basename(path)}")
+    merged = None
+    if k == 0:
+        merged = ScoreDict(labels=sd._labels)
+        for i in range(jax.process_count()):
+            with open(f"{path}.sdpart-{i:05d}", encoding="utf-8") as f:
+                merged.update_state(json.load(f))
+    sync_processes(f"icl:sd:merged:{os.path.basename(path)}")
+    os.remove(part)   # each process owns (wrote) exactly this file
+    return merged

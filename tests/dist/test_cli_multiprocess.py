@@ -178,13 +178,15 @@ def test_cli_two_process_predict_merges_byte_identical(cli_data, tmp_path):
     res = _run_workers([(8, "relation", _relation_args(
         cli_data, tmp_path / "m_pred", 3))])
     assert res[0][0] == 0, res[0][1]
-    base = ["--predict", "--data_dir", str(cli_data), "--data_split",
+    base = ["--predict", "--eval", "--data_dir", str(cli_data),
+            "--data_split",
             "train", "--images_per_batch", "8", "--lstm_hidden_width", "6",
             "--head_hidden", "12", "--mesh", "8x1",
             "--model_file", str(tmp_path / "m_pred")]
     s1, s2 = tmp_path / "single.scores", tmp_path / "multi.scores"
     res = _run_workers([(8, "relation", base + ["--scores_file", str(s1)])])
     assert res[0][0] == 0, res[0][1]
+    table_s = _extract_table(res[0][1])
     port = _free_port()
     res = _run_workers([
         (4, "relation", base + ["--scores_file", str(s2)] + _dist(port, pid))
@@ -192,6 +194,12 @@ def test_cli_two_process_predict_merges_byte_identical(cli_data, tmp_path):
     for rc, out in res:
         assert rc == 0, out
     _assert_scores_equiv(s2, s1)
+    # sharded --eval: each process counted its image slice; exactly ONE
+    # process prints the merged table and it equals the single-process one
+    tables = [_extract_table(out) for _, out in res if "Accuracy:" in out]
+    assert len(tables) == 1, "exactly one process must print the table"
+    assert tables[0] == table_s
+    assert not list(tmp_path.glob("*.sdpart-*")), "sd parts not cleaned up"
     assert not list(tmp_path.glob("*.part-*")), "part files not cleaned up"
     meta = json.loads((tmp_path / "multi.scores.meta.json").read_text())
     assert meta["num_examples"] == len(s1.read_text().splitlines())
@@ -207,18 +215,13 @@ def test_cli_two_process_predict_merges_byte_identical(cli_data, tmp_path):
     assert s3.read_bytes() == s2.read_bytes()
 
 
-def test_begin_predict_eval_gate_unit(monkeypatch):
-    """--eval stays single-process: the ScoreDict table needs global
-    counts (icl-eval over the merged .scores is the pod-scale path)."""
-    from types import SimpleNamespace
-
-    import jax
-
-    from icl.cli._common import begin_predict
-
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(SystemExit, match="single-process"):
-        begin_predict(SimpleNamespace(eval=True), None, None, None, 4)
+def _extract_table(out: str) -> str:
+    """The ScoreDict P/R/F1 block printed to stdout, logs stripped."""
+    lines = out.splitlines()
+    starts = [i for i, l in enumerate(lines) if l.startswith("label ")]
+    ends = [i for i, l in enumerate(lines) if l.startswith("Accuracy:")]
+    assert starts and ends, f"no ScoreDict table in output:\n{out}"
+    return "\n".join(lines[starts[0]:ends[-1] + 1])
 
 
 def test_cli_two_process_eval_early_stop_matches(cli_data, tmp_path):

@@ -24,6 +24,39 @@ def test_zero_denominators():
     assert sd.precision(1) == 0.0 and sd.recall(1) == 0.0 and sd.f1(1) == 0.0
 
 
+def test_state_dict_merge_equals_combined():
+    """Sharded --eval contract: merging per-shard state_dicts (through a
+    JSON round-trip, as the part files do) reproduces the table a single
+    ScoreDict over ALL pairs would print — counts are additive."""
+    import json
+
+    golds = ["a", "a", "a", "b", "b", "a", "b"]
+    preds = ["a", "b", "a", "b", "a", "a", "b"]
+    full = ScoreDict(labels=["a", "b"])
+    full.increment_all(golds, preds)
+    merged = ScoreDict(labels=["a", "b"])
+    for lo, hi in ((0, 3), (3, 7)):   # two uneven "process" shards
+        shard = ScoreDict(labels=["a", "b"])
+        shard.increment_all(golds[lo:hi], preds[lo:hi])
+        merged.update_state(json.loads(json.dumps(shard.state_dict())))
+    assert merged.table() == full.table()
+    assert merged.accuracy == full.accuracy
+
+
+def test_state_dict_merge_tuple_labels():
+    """Non-string labels survive the JSON round-trip: pair lists re-tuple
+    on update_state so they hash identically to the originals."""
+    import json
+
+    sd = ScoreDict()
+    sd.increment(("doc", 1), ("doc", 1))
+    sd.increment(("doc", 2), ("doc", 1))
+    out = ScoreDict()
+    out.update_state(json.loads(json.dumps(sd.state_dict())))
+    assert out.accuracy == 0.5
+    assert out.recall(("doc", 1)) == 1.0
+
+
 def test_table_stable():
     sd = ScoreDict(labels=["coref", "null"])
     for _ in range(3):
