@@ -189,7 +189,7 @@ def parse_task_args(p: argparse.ArgumentParser, argv, task: str):
     return args
 
 
-def begin_predict(args, rt, state, table, n_examples: int, weights=None):
+def begin_predict(rt, state, table, n_examples: int, weights=None):
     """Set up the (possibly multi-host) predict sweep.
 
     Single-process: returns ``(rt.mesh, state, table, (0, n_examples))`` —

@@ -126,7 +126,7 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     # the `.scores` shards merge byte-identically (_common.begin_predict)
     total_mentions = len(ds.ids)
     pmesh, state, table, (lo, hi) = begin_predict(
-        args, rt, state, table, len(ds.ids))
+        rt, state, table, len(ds.ids))
     if (lo, hi) != (0, len(ds.ids)):
         import dataclasses
         ds = dataclasses.replace(ds, token_ids=ds.token_ids[lo:hi],
@@ -166,11 +166,17 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
         from icl.cli._common import report_parity
         from icl.eval.oracle import oracle_ffnn
         n = len(ds.ids) if args.oracle_parity_full else min(len(ds.ids), 256)
-        pooled = np.asarray(mean_pool_tokens(
-            jnp.asarray(emb.table), jnp.asarray(ds.token_ids[:n]),
-            jnp.asarray(ds.lengths[:n])))
-        p_oracle = oracle_ffnn(jax.tree.map(np.asarray, state.params), pooled)
-        report_parity(float(np.abs(probs[:n] - p_oracle).max()))
+        if n:
+            pooled = np.asarray(mean_pool_tokens(
+                jnp.asarray(emb.table), jnp.asarray(ds.token_ids[:n]),
+                jnp.asarray(ds.lengths[:n])))
+            p_oracle = oracle_ffnn(jax.tree.map(np.asarray, state.params),
+                                   pooled)
+            report_parity(float(np.abs(probs[:n] - p_oracle).max()))
+        else:
+            # an empty sharded-predict slice has nothing to compare; dying
+            # here would strand the other hosts at the part-file barrier
+            report_parity(0.0)
     scores_path = default_scores_path(args, task)
     write_scores_sharded(scores_path, ds.ids, probs,
                          num_classes=len(classes),

@@ -168,7 +168,7 @@ def main(argv=None) -> None:
     # `.scores` shards merge byte-identically (icl/cli/_common.begin_predict)
     total_cells = ds.num_cells
     pmesh, state, table, (lo, hi) = begin_predict(
-        args, rt, state, table, len(ds.images),
+        rt, state, table, len(ds.images),
         weights=[int(im.grid_valid.sum()) for im in ds.images])
     if (lo, hi) != (0, len(ds.images)):
         import dataclasses

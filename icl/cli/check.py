@@ -207,12 +207,21 @@ def _check_feats(data_dir: str, split: str, task: str, mention_keys,
     # millions of rows has a route back to the fast path.
     nonascii = 0
     first_na = None
+    lineno = 0
     with open(path, "rb") as f:
-        for lineno, raw in enumerate(f, 1):
-            if raw and max(raw) >= 0x80:
-                nonascii += 1
-                if first_na is None:
-                    first_na = lineno
+        for raw in f:   # physical \n-terminated chunks
+            # the parsers (C++ and Python alike) use universal newlines, so
+            # bare \r terminates a line too — split each chunk on \r so the
+            # census line numbers match the demotion warning's file:line
+            pieces = raw.split(b"\r")
+            if len(pieces) > 1 and pieces[-1] in (b"\n", b""):
+                pieces.pop()   # \r\n collapse / trailing \r: one terminator
+            for piece in pieces:
+                lineno += 1
+                if piece and max(piece) >= 0x80:
+                    nonascii += 1
+                    if first_na is None:
+                        first_na = lineno
     if nonascii:
         rep.info(f"{path}: {nonascii} line(s) contain non-ASCII bytes "
                  f"(first: line {first_na}) — such lines can demote the "

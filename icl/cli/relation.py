@@ -164,7 +164,7 @@ def main(argv=None) -> None:
     # `.scores` shards merge byte-identically (icl/cli/_common.begin_predict)
     total_pairs = sum(len(im.pair_ids) for im in ds.images)
     pmesh, state, table, (lo, hi) = begin_predict(
-        args, rt, state, table, len(ds.images),
+        rt, state, table, len(ds.images),
         weights=[len(im.pair_ids) for im in ds.images])
     if (lo, hi) != (0, len(ds.images)):
         import dataclasses

@@ -28,6 +28,13 @@ class Runtime:
         return self.mesh.devices.size
 
 
+# coordinator address this process bootstrapped with — jax doesn't expose
+# it after initialize(), so idempotent re-entry records it to reject a
+# conflicting address (same id/count against a DIFFERENT cluster would
+# otherwise silently reuse the old peer group's collectives)
+_coordinator: str | None = None
+
+
 def init(topology: str | None = None, seed: int = 0,
          coordinator: str | None = None, num_processes: int | None = None,
          process_id: int | None = None) -> Runtime:
@@ -41,6 +48,7 @@ def init(topology: str | None = None, seed: int = 0,
     (tests/dist/test_multiprocess.py); the pod itself is unavailable here
     (SURVEY §9.3(5)).
     """
+    global _coordinator
     if process_id is not None:
         if coordinator is None or num_processes is None:
             raise ValueError("--process_id requires --coordinator and "
@@ -51,18 +59,22 @@ def init(topology: str | None = None, seed: int = 0,
             # hard-errors on double initialize) — but only if it describes
             # the SAME topology this process already joined
             if (jax.process_count() != num_processes
-                    or jax.process_index() != process_id):
+                    or jax.process_index() != process_id
+                    or (_coordinator is not None
+                        and coordinator != _coordinator)):
                 raise ValueError(
                     f"distributed already initialized as process "
-                    f"{jax.process_index()}/{jax.process_count()} — "
-                    f"conflicting --process_id {process_id}/"
-                    f"--num_processes {num_processes}")
+                    f"{jax.process_index()}/{jax.process_count()} via "
+                    f"{_coordinator} — conflicting --process_id "
+                    f"{process_id}/--num_processes {num_processes}/"
+                    f"--coordinator {coordinator}")
             LOG.info("distributed: reusing bootstrap (process %d/%d)",
                      jax.process_index(), jax.process_count())
         else:
             jax.distributed.initialize(coordinator_address=coordinator,
                                        num_processes=num_processes,
                                        process_id=process_id)
+            _coordinator = coordinator
             LOG.info("distributed: process %d/%d via %s; %d global "
                      "device(s)", jax.process_index(), jax.process_count(),
                      coordinator, jax.device_count())

@@ -10,6 +10,7 @@
 //
 // Build: `make -C native` → icl/native/libicl_native.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -400,7 +401,13 @@ int scores_write_chunk(const char* path, const char* const* ids,
   for (int64_t i = 0; i < n; ++i) {
     line.assign(ids[i]);
     for (int32_t j = 0; j < c; ++j) {
-      int len = snprintf(num, sizeof(num), ",%.6f", probs[i * c + j]);
+      double v = probs[i * c + j];
+      // glibc %.6f prints sign-bit NaNs as "-nan" (and may add a payload);
+      // Python's float formatting always prints plain "nan" — pin the
+      // Python bytes so which writer ran can't change the file (§7.3)
+      int len = std::isnan(v)
+                    ? snprintf(num, sizeof(num), ",nan")
+                    : snprintf(num, sizeof(num), ",%.6f", v);
       if (len < 0 || len >= (int)sizeof(num)) {
         fclose(f);
         return -4;

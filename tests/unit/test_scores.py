@@ -39,8 +39,11 @@ def test_extreme_values_native_python_byte_parity(tmp_path):
     """%.6f of ±1e300 is ~314 chars — the native writer's fixed buffer must
     hold it (or bail to the Python fallback), never append snprintf's
     would-be length past the buffer (ADVICE r3).  Both paths byte-equal."""
-    ids = ["a", "b"]
-    probs = np.array([[1e300, -1e300], [0.5, 1e-300]])
+    ids = ["a", "b", "c"]
+    # sign-bit NaN: glibc %.6f prints "-nan" but Python prints "nan" —
+    # the native writer must pin the Python bytes
+    probs = np.array([[1e300, -1e300], [0.5, 1e-300],
+                      [np.nan, -np.nan]])
     p_python = str(tmp_path / "p.scores")
     with open(p_python, "w", encoding="utf-8", newline="\n") as f:
         for eid, row in zip(ids, probs):
