@@ -18,7 +18,7 @@ from icl.cli._common import (default_model_dir, default_scores_path,
                              dump_run_config, load_embeddings)
 from icl.data.buckets import Bucketizer, BucketSpec
 from icl.data.pipeline import load_mention_dataset
-from icl.dist.mesh import data_axis_size, replicate, shard_batch
+from icl.dist.mesh import replicate, shard_batch, sweep_data_axis_size
 from icl.eval.scoredict import ScoreDict
 from icl.io.scores import write_scores_sharded
 from icl.models.nonvisual import mean_pool_tokens
@@ -59,7 +59,7 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     model_dir = default_model_dir(args, task)
 
     bs = args.batch_size
-    ndev = data_axis_size(rt.mesh)
+    ndev = sweep_data_axis_size(rt.mesh, bool(args.predict))
     if bs % ndev:
         bs = ((bs + ndev - 1) // ndev) * ndev
         LOG.warning("batch_size rounded up to %d (divisible by %d devices)",

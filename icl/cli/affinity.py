@@ -20,7 +20,7 @@ from icl.cli._common import (base_parser, default_model_dir,
                              load_embeddings)
 from icl.data.imagebatch import AffinityBatcher
 from icl.data.pipeline import load_affinity_dataset
-from icl.dist.mesh import data_axis_size, replicate, shard_batch
+from icl.dist.mesh import replicate, shard_batch, sweep_data_axis_size
 from icl.eval.scoredict import ScoreDict
 from icl.io.scores import write_scores_sharded
 from icl.models.affinity import AFFINITY_CLASSES, AffinityModel
@@ -68,7 +68,7 @@ def main(argv=None) -> None:
              len(ds.images), ds.num_cells)
 
     ipb = args.images_per_batch
-    ndev = data_axis_size(rt.mesh)
+    ndev = sweep_data_axis_size(rt.mesh, bool(args.predict))
     if ipb % ndev:
         ipb = ((ipb + ndev - 1) // ndev) * ndev
         LOG.warning("images_per_batch rounded to %d for %d devices", ipb, ndev)

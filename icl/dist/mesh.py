@@ -133,6 +133,23 @@ def predict_mesh(mesh: Mesh) -> Mesh:
     return build_mesh(None, jax.local_devices())
 
 
+def sweep_data_axis_size(mesh: Mesh, predict: bool) -> int:
+    """Data-axis size this run's batch row counts must divide by.
+
+    Train batches shard on the GLOBAL mesh, so its data-axis size is the
+    divisor.  A multi-process predict sweep instead runs on
+    :func:`predict_mesh` — ALL local devices on the data axis — whose size
+    can exceed the global mesh's data axis (e.g. a ``2x4`` topology across
+    2 hosts has data=2 globally but 4 local devices).  Rounding the batch
+    to the global size alone would pass train-time validation and then
+    crash ``shard_batch`` mid-sweep, stranding the other hosts at the
+    part-file merge barrier (r4 review finding).
+    """
+    if predict and jax.process_count() > 1:
+        return data_axis_size(predict_mesh(mesh))
+    return data_axis_size(mesh)
+
+
 def predict_partition(n: int, weights=None) -> tuple[int, int]:
     """Contiguous [lo, hi) slice of n dataset examples owned by THIS process.
 
@@ -183,6 +200,37 @@ def sync_processes(key: str) -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(key)
+
+
+def gather_parts(path: str, tag: str, write_part, merge) -> Any:
+    """Part-file scatter/gather for sharded multi-process outputs.
+
+    One copy of the choreography both sharded-output merges share (the
+    `.scores` byte merge and the ScoreDict count merge used to hand-roll
+    it separately — r4 review finding): every process writes its payload
+    to ``<path>.<tag>-<k:05d>`` via ``write_part(part_path)``; after a
+    barrier, process 0 calls ``merge(part_paths)`` over all parts in
+    process order; a second barrier lets each process delete the part it
+    owns (wrote).  Returns ``merge``'s result on process 0, ``None``
+    elsewhere.
+
+    ``path`` must live on storage visible to every process (the same
+    contract the orbax checkpoint directory carries on a pod) — without
+    it, process 0's merge fails loudly with the missing part path.
+    Multi-process only: single-process callers degrade before calling.
+    """
+    import os
+
+    k, p = jax.process_index(), jax.process_count()
+    part = f"{path}.{tag}-{k:05d}"
+    write_part(part)
+    sync_processes(f"icl:{tag}:parts:{os.path.basename(path)}")
+    result = None
+    if k == 0:
+        result = merge([f"{path}.{tag}-{i:05d}" for i in range(p)])
+    sync_processes(f"icl:{tag}:merged:{os.path.basename(path)}")
+    os.remove(part)   # each process owns (wrote) exactly this file
+    return result
 
 
 def shard_batch_local(local_batch: Any, mesh: Mesh, global_rows: int) -> Any:

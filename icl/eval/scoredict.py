@@ -137,25 +137,22 @@ def merge_sharded(sd: ScoreDict, path: str) -> ScoreDict | None:
     process 0 and ``None`` elsewhere (only one process should print).
     """
     import json
-    import os
 
     import jax
 
     if jax.process_count() == 1:
         return sd
-    from icl.dist.mesh import sync_processes
+    from icl.dist.mesh import gather_parts
 
-    k = jax.process_index()
-    part = f"{path}.sdpart-{k:05d}"
-    with open(part, "w", encoding="utf-8") as f:
-        json.dump(sd.state_dict(), f)
-    sync_processes(f"icl:sd:parts:{os.path.basename(path)}")
-    merged = None
-    if k == 0:
+    def _write(part_path):
+        with open(part_path, "w", encoding="utf-8") as f:
+            json.dump(sd.state_dict(), f)
+
+    def _merge(part_paths):
         merged = ScoreDict(labels=sd._labels)
-        for i in range(jax.process_count()):
-            with open(f"{path}.sdpart-{i:05d}", encoding="utf-8") as f:
+        for pp in part_paths:
+            with open(pp, encoding="utf-8") as f:
                 merged.update_state(json.load(f))
-    sync_processes(f"icl:sd:merged:{os.path.basename(path)}")
-    os.remove(part)   # each process owns (wrote) exactly this file
-    return merged
+        return merged
+
+    return gather_parts(path, "sdpart", _write, _merge)

@@ -127,22 +127,19 @@ def write_scores_sharded(
         _write_rows(path, local_ids, probs)
         _write_meta(path, total_examples, num_classes, class_order, meta)
         return
-    from icl.dist.mesh import sync_processes
+    from icl.dist.mesh import gather_parts
 
-    k = jax.process_index()
-    part = f"{path}.part-{k:05d}"
-    _write_rows(part, local_ids, probs)
-    sync_processes(f"icl:scores:parts:{os.path.basename(path)}")
-    if k == 0:
+    def _merge(part_paths):
         import shutil
 
         with open(path, "wb") as out:
-            for i in range(jax.process_count()):
-                with open(f"{path}.part-{i:05d}", "rb") as f:
+            for pp in part_paths:
+                with open(pp, "rb") as f:
                     shutil.copyfileobj(f, out)
         _write_meta(path, total_examples, num_classes, class_order, meta)
-    sync_processes(f"icl:scores:merged:{os.path.basename(path)}")
-    os.remove(part)   # each process owns (wrote) exactly this file
+
+    gather_parts(path, "part",
+                 lambda pp: _write_rows(pp, local_ids, probs), _merge)
 
 
 def read_scores(path: str) -> tuple[list[str], np.ndarray]:

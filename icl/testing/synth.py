@@ -42,9 +42,11 @@ class SynthConfig:
     # of loss trends.  Default keeps the historical noisy-tendency labels:
     #  - entity words per image are drawn WITHOUT replacement (coref =
     #    same-word becomes exact, no cross-entity word collisions),
-    #  - relation: coref iff w_i == w_j; subset_ij iff w_j == w_i + 1
-    #    (mod vocab/2); subset_ji symmetric; else null — a pure function
-    #    of the two span head words,
+    #  - relation: coref iff w_i == w_j; subset_ij iff (w_i even, w_j odd);
+    #    subset_ji iff (w_i odd, w_j even); else null — a pure function of
+    #    the two span head words separately (a successor-style JOINT rule
+    #    was piloted and rejected: it gates pair-space memorization, not
+    #    learning — 0.88 vs 0.98 dev accuracy; see the planted branch),
     #  - affinity: every image has exactly max_boxes_per_image boxes and
     #    the entity's box is entity_word % n_boxes — a pure function of
     #    (span word, box signature),

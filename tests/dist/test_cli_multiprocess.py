@@ -371,3 +371,31 @@ def test_cli_two_process_joint_forwards_bootstrap(cli_data, tmp_path):
         _assert_scores_equiv(tmp_path / f"m.{t}.scores",
                              tmp_path / f"s.{t}.scores")
     assert not list(data.glob("*.part-*")), "part files not cleaned up"
+
+
+def test_cli_sharded_predict_batch_divides_local_mesh(cli_data, tmp_path):
+    """A multi-process predict sweep runs on the LOCAL all-device mesh,
+    whose data axis can be LARGER than the global mesh's: with ``--mesh
+    2x4`` across 2 hosts of 4 devices, the global data axis is 2 but the
+    predict mesh shards 4 ways.  A batch size rounded only to the global
+    size (2) used to crash ``shard_batch`` mid-sweep and strand the other
+    host at the merge barrier (r4 review finding — sweep_data_axis_size).
+
+    Predict-from-init keeps it cheap (identical seeds, no training)."""
+    base = ["--predict", "--data_dir", str(cli_data), "--data_split",
+            "train", "--batch_size", "2", "--hidden_width", "8",
+            "--seed", "7", "--mesh", "2x4",
+            "--model_file", str(tmp_path / "m_div")]
+    s1, s2 = tmp_path / "div_s.scores", tmp_path / "div_m.scores"
+    res = _run_workers([(8, "nonvisual", base + ["--scores_file", str(s1)])])
+    assert res[0][0] == 0, res[0][1]
+    port = _free_port()
+    res = _run_workers([
+        (4, "nonvisual", base + ["--scores_file", str(s2)]
+         + _dist(port, pid)) for pid in range(2)])
+    for rc, out in res:
+        assert rc == 0, out
+        # the round-up must target the 4-device predict mesh, not the
+        # global data axis (2, which 2 already divides)
+        assert "rounded up to 4" in out, out
+    _assert_scores_equiv(s2, s1)
