@@ -26,6 +26,14 @@ def mean_pool_tokens(emb_table: jnp.ndarray, token_ids: jnp.ndarray,
 
     DECISION (SURVEY §6.3): OOV tokens contribute zero vectors but still
     count in the denominator; the denominator is the true token count.
+
+    PERF (BENCHMARKS.md ledger [r4], traced on v5e): this is the whole
+    mention-task step cost, and it is bound by the gather's ROW RATE
+    (~3.1 ns/row, dtype-invariant), not bytes.  Do not retry: a
+    multiply+sum form of the einsum is bitwise-identical and equally
+    fast (XLA lowers a 65k-row gather as its own DMA fusion either way),
+    and one-hot MXU / VMEM-resident-table kernels lose by arithmetic
+    (negative result #6).
     """
     vecs = jnp.take(emb_table, token_ids, axis=0)        # [B, L, D]
     mask = (jnp.arange(token_ids.shape[1]) < lengths[:, None]).astype(vecs.dtype)
