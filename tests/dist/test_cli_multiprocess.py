@@ -373,6 +373,44 @@ def test_cli_two_process_joint_forwards_bootstrap(cli_data, tmp_path):
     assert not list(data.glob("*.part-*")), "part files not cleaned up"
 
 
+def test_cli_four_process_predict_merges(cli_data, tmp_path):
+    """4 processes × 2 devices: the weighted predict partition has THREE
+    interior boundaries and gather_parts merges FOUR parts in rank order —
+    p=2 runs cannot distinguish rank-ordered from reversed merges, never
+    produce an interior (0 < k < p-1) slice, and a p=2 ScoreDict merge is
+    commutative where a p=4 one exposes ordering bugs.
+
+    Predict-from-init (identical seeds, no training) keeps it cheap."""
+    base = ["--predict", "--eval", "--data_dir", str(cli_data),
+            "--data_split", "train", "--images_per_batch", "8",
+            "--lstm_hidden_width", "6", "--head_hidden", "12",
+            "--seed", "7", "--mesh", "8x1",
+            "--model_file", str(tmp_path / "m4")]
+    s1, s2 = tmp_path / "p4_s.scores", tmp_path / "p4_m.scores"
+    res = _run_workers([(8, "relation", base + ["--scores_file", str(s1)])])
+    assert res[0][0] == 0, res[0][1]
+    table_s = _extract_table(res[0][1])
+    port = _free_port()
+    res = _run_workers([
+        (2, "relation", base + ["--scores_file", str(s2),
+                                "--coordinator", f"localhost:{port}",
+                                "--num_processes", "4",
+                                "--process_id", str(pid)])
+        for pid in range(4)])
+    for rc, out in res:
+        assert rc == 0, out
+    # every rank swept its own slice on its 2 local devices
+    ranks = sorted(out.split("sharded predict: process ")[1][:3]
+                   for _, out in res)
+    assert ranks == [f"{k}/4" for k in range(4)], ranks
+    _assert_scores_equiv(s2, s1)
+    tables = [_extract_table(out) for _, out in res if "Accuracy:" in out]
+    assert len(tables) == 1, "exactly one process must print the table"
+    assert tables[0] == table_s
+    assert not list(tmp_path.glob("*.part-*")), "part files not cleaned up"
+    assert not list(tmp_path.glob("*.sdpart-*")), "sd parts not cleaned up"
+
+
 def test_cli_sharded_predict_batch_divides_local_mesh(cli_data, tmp_path):
     """A multi-process predict sweep runs on the LOCAL all-device mesh,
     whose data axis can be LARGER than the global mesh's: with ``--mesh
