@@ -87,6 +87,12 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "checkpoints stay f32 either way, so a bf16-"
                         "trained model can predict in f32 and vice versa")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compilation cache directory: "
+                        "compiled programs are reused across process "
+                        "restarts (a repeated predict sweep or serve "
+                        "restart skips its first-run compile wall). "
+                        "Shareable between concurrent processes")
     p.add_argument("--metrics_file", default=None)
     p.add_argument("--config", default=None,
                    help="JSON run config (e.g. configs/mscoco_v5e_pod_dp."

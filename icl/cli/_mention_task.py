@@ -35,7 +35,9 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     rt = runtime.init(args.mesh, seed=args.seed,
                       coordinator=getattr(args, "coordinator", None),
                       num_processes=getattr(args, "num_processes", None),
-                      process_id=getattr(args, "process_id", None))
+                      process_id=getattr(args, "process_id", None),
+                      compilation_cache_dir=getattr(
+                          args, "compilation_cache_dir", None))
     emb = load_embeddings(args)
     table = replicate(jnp.asarray(emb.table), rt.mesh)
     ds = load_mention_dataset(args.data_dir, args.data_split, task, emb)

@@ -69,6 +69,8 @@ def main(argv=None) -> None:
         common += ["--process_id", str(args.process_id)]
     if args.matmul_precision:
         common += ["--matmul_precision", args.matmul_precision]
+    if args.compilation_cache_dir:
+        common += ["--compilation_cache_dir", args.compilation_cache_dir]
     if args.hidden_width:
         common += ["--hidden_width", str(args.hidden_width)]
     if args.embeddings_file:

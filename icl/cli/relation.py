@@ -54,7 +54,8 @@ def main(argv=None) -> None:
     rt = runtime.init(args.mesh, seed=args.seed,
                       coordinator=args.coordinator,
                       num_processes=args.num_processes,
-                      process_id=args.process_id)
+                      process_id=args.process_id,
+                      compilation_cache_dir=args.compilation_cache_dir)
     emb = load_embeddings(args)
     # frozen w2v features ship in the compute dtype: bit-identical to the
     # model's astype-after-gather (rounding commutes with the gather) and

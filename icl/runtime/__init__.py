@@ -35,9 +35,34 @@ class Runtime:
 _coordinator: str | None = None
 
 
+def enable_compilation_cache(path: str) -> None:
+    """Point XLA's persistent compilation cache at ``path``.
+
+    Compiled executables are reused across PROCESS RESTARTS (keyed on
+    program + jax/XLA version + device kind, so stale entries are misses,
+    never wrong results): a serve restart skips its multi-second warm-up
+    compiles, and a repeated predict sweep skips its first-run compile
+    wall (~47 s at the 50k scale rehearsal).  Entries below jax's default
+    thresholds (≥1 s compile) are not written — tiny programs recompile
+    faster than they deserialize.  Safe to share between concurrent
+    processes (atomic writes; a pod's hosts can point at one directory).
+    """
+    import os
+
+    from jax.experimental.compilation_cache import compilation_cache
+
+    os.makedirs(path, exist_ok=True)
+    # reset + config update: jax's cache handle is a lazily-initialized
+    # singleton pinned to the dir current at FIRST use — set_cache_dir
+    # alone does NOT re-point it once anything has compiled
+    compilation_cache.set_cache_dir(os.path.abspath(path))
+    compilation_cache.reset_cache()
+
+
 def init(topology: str | None = None, seed: int = 0,
          coordinator: str | None = None, num_processes: int | None = None,
-         process_id: int | None = None) -> Runtime:
+         process_id: int | None = None,
+         compilation_cache_dir: str | None = None) -> Runtime:
     """Bring up the runtime: distributed bootstrap (if multi-host) + mesh.
 
     Args mirror ``jax.distributed.initialize``.  The multi-host branch is
@@ -49,6 +74,8 @@ def init(topology: str | None = None, seed: int = 0,
     (SURVEY §9.3(5)).
     """
     global _coordinator
+    if compilation_cache_dir:
+        enable_compilation_cache(compilation_cache_dir)
     if process_id is not None:
         if coordinator is None or num_processes is None:
             raise ValueError("--process_id requires --coordinator and "

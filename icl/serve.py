@@ -628,7 +628,15 @@ def main(argv=None) -> None:
                    help="coalescer queue bound (image items); submits past "
                         "it get 503 + Retry-After instead of growing host "
                         "memory")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compilation cache directory: a "
+                        "serve RESTART reuses the previous run's warm-up "
+                        "compiles instead of re-paying them")
     args = p.parse_args(argv)
+    if args.compilation_cache_dir:
+        from icl.runtime import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache_dir)
     httpd = serve(args.data_dir, args.port, args.embeddings_file,
                   args.tasks.split(",") if args.tasks else None,
                   warmup=args.warmup, batch_window_ms=args.batch_window_ms,

@@ -34,9 +34,18 @@ def _isolate_matmul_precision():
     marginal 2e-6 flake in grid-vs-pair loss equality).  Restore the value
     around every test."""
     before = jax.config.jax_default_matmul_precision
+    cache_before = jax.config.jax_compilation_cache_dir
     yield
     if jax.config.jax_default_matmul_precision != before:
         jax.config.update("jax_default_matmul_precision", before)
+    if jax.config.jax_compilation_cache_dir != cache_before:
+        # --compilation_cache_dir is global config too; a leaked tmp-path
+        # cache dir would have every later test try to write a deleted dir.
+        # The singleton handle is pinned at first use — reset it as well.
+        from jax.experimental.compilation_cache import compilation_cache
+
+        jax.config.update("jax_compilation_cache_dir", cache_before)
+        compilation_cache.reset_cache()
 
 
 @pytest.fixture(scope="session")
