@@ -176,9 +176,12 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
                                    pooled)
             report_parity(float(np.abs(probs[:n] - p_oracle).max()))
         else:
-            # an empty sharded-predict slice has nothing to compare; dying
-            # here would strand the other hosts at the part-file barrier
-            report_parity(0.0)
+            # an empty sharded-predict slice has nothing to compare; a
+            # synthetic PASS would falsely claim parity was verified (r4
+            # advisor finding), so say explicitly that it was skipped.
+            # Host-local print — no barrier involved, other hosts proceed.
+            LOG.info("oracle parity skipped: empty predict slice")
+            print("oracle-parity SKIPPED: empty predict slice")
     scores_path = default_scores_path(args, task)
     write_scores_sharded(scores_path, ds.ids, probs,
                          num_classes=len(classes),

@@ -248,7 +248,12 @@ def main(argv=None) -> None:
             checked += 1
             if not args.oracle_parity_full and checked >= 2:
                 break
-        report_parity(max_diff)
+        if checked:
+            report_parity(max_diff)
+        else:
+            # empty sharded-predict slice: nothing was compared — don't
+            # print a synthetic PASS (host-local, no barrier involved)
+            print("oracle-parity SKIPPED: empty predict slice")
     # write in dataset order: per image, mention-major over valid cells
     from icl.io.captions import parse_mention_id
     order = []

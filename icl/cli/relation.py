@@ -224,7 +224,12 @@ def main(argv=None) -> None:
             checked += 1
             if not args.oracle_parity_full and checked >= 2:
                 break
-        report_parity(max_diff)
+        if checked:
+            report_parity(max_diff)
+        else:
+            # empty sharded-predict slice: nothing was compared — don't
+            # print a synthetic PASS (host-local, no barrier involved)
+            print("oracle-parity SKIPPED: empty predict slice")
     order = [pid for im in ds.images for pid in im.pair_ids]
     out = (np.stack([probs_by_id[pid] for pid in order]) if order
            else np.zeros((0, len(RELATION_CLASSES))))

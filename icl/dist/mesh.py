@@ -216,7 +216,11 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
 
     ``path`` must live on storage visible to every process (the same
     contract the orbax checkpoint directory carries on a pod) — without
-    it, process 0's merge fails loudly with the missing part path.
+    it, process 0's merge fails loudly with the missing part path.  The
+    merge runs under try/finally so rank 0 still reaches the second
+    barrier on failure (re-raising after) — otherwise every other host
+    would hang in ``sync_processes`` until the distributed-runtime
+    timeout while only rank 0 reported the error (r4 advisor finding).
     Multi-process only: single-process callers degrade before calling.
     """
     import os
@@ -226,9 +230,15 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
     write_part(part)
     sync_processes(f"icl:{tag}:parts:{os.path.basename(path)}")
     result = None
+    merge_err = None
     if k == 0:
-        result = merge([f"{path}.{tag}-{i:05d}" for i in range(p)])
+        try:
+            result = merge([f"{path}.{tag}-{i:05d}" for i in range(p)])
+        except BaseException as e:   # re-raised after the barrier
+            merge_err = e
     sync_processes(f"icl:{tag}:merged:{os.path.basename(path)}")
+    if merge_err is not None:
+        raise merge_err
     os.remove(part)   # each process owns (wrote) exactly this file
     return result
 

@@ -83,10 +83,12 @@ class ScoreDict:
         reproduces the global table exactly — the basis of the sharded
         ``--eval`` path (:func:`merge_sharded`).  Labels that arrive as
         JSON lists (tuple labels round-tripped through a part file) are
-        re-tupled so they hash identically to the originals.
+        re-tupled RECURSIVELY so nested-tuple labels also hash identically
+        to the originals (a top-level-only re-tuple would leave an inner
+        list, silently splitting counts — r4 advisor finding).
         """
         def key(k):
-            return tuple(k) if isinstance(k, list) else k
+            return tuple(map(key, k)) if isinstance(k, list) else k
 
         for k, v in d["gold"]:
             self._gold_counts[key(k)] += v

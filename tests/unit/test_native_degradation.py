@@ -132,3 +132,38 @@ def test_check_counts_nonascii_lines(tmp_path, capsys):
     cap = capsys.readouterr()
     out = cap.out + cap.err
     assert "non-ASCII" in out and "first: line 2" in out, out
+
+
+def test_check_census_cr_line_numbering(tmp_path, capsys):
+    """The census splits physical \\n-chunks on bare \\r so its line
+    numbers match the universal-newline parsers' demotion warnings across
+    bare-\\r, \\r\\n, and trailing-\\r terminators (r4 advisor finding:
+    this CR-aware numbering had no regression test)."""
+    from icl.cli import check as check_cli
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = tmp_path / "data"
+    generate_dataset(str(d), "train", SynthConfig(num_images=2, seed=0))
+    feats = d / "train.nonvisual.feats"
+    lines = feats.read_bytes().splitlines()
+    assert len(lines) >= 5
+    # NBSP-pad universal-newline line 3, which hides inside the FIRST
+    # physical \n-chunk behind a bare \r and an \r\n — naive \n-based
+    # numbering would report line 1; end the file with a trailing bare \r
+    blob = (lines[0] + b"\r" + lines[1] + b"\r\n" + lines[2] + b"\xc2\xa0"
+            + b"\n" + b"\n".join(lines[3:]) + b"\r")
+    feats.write_bytes(blob)
+    # the parsers' numbering authority: Python universal-newline text mode
+    with open(feats, "r", encoding="utf-8", errors="surrogateescape") as f:
+        utext = f.read().splitlines()
+    assert len(utext) == len(lines)          # trailing \r adds no line
+    expect = next(i + 1 for i, t in enumerate(utext)
+                  if any(ord(c) > 127 for c in t))
+    assert expect == 3
+    try:
+        check_cli.main(["--data_dir", str(d), "--data_split", "train"])
+    except SystemExit:
+        pass  # NBSP-padded ids are legal data — exit code not gated here
+    cap = capsys.readouterr()
+    out = cap.out + cap.err
+    assert "non-ASCII" in out and f"first: line {expect}" in out, out

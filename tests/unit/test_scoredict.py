@@ -57,6 +57,22 @@ def test_state_dict_merge_tuple_labels():
     assert out.recall(("doc", 1)) == 1.0
 
 
+def test_state_dict_merge_nested_tuple_labels():
+    """Re-tupling is RECURSIVE: a nested-tuple label must round-trip to
+    the same hash, not keep an inner list that silently splits counts
+    (r4 advisor finding)."""
+    import json
+
+    sd = ScoreDict()
+    sd.increment(("doc", (1, 2)), ("doc", (1, 2)))
+    out = ScoreDict()
+    out.increment(("doc", (1, 2)), ("doc", (1, 2)))
+    out.update_state(json.loads(json.dumps(sd.state_dict())))
+    assert out.gold_count(("doc", (1, 2))) == 2
+    assert out.accuracy == 1.0
+    assert out.labels == [("doc", (1, 2))]   # one label, not a split pair
+
+
 def test_table_stable():
     sd = ScoreDict(labels=["coref", "null"])
     for _ in range(3):
