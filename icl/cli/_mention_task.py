@@ -124,8 +124,9 @@ def run(args, task: str, model_cls, classes: tuple[str, ...]) -> None:
     if ckpt.latest_step is None:
         LOG.warning("no checkpoint found in %s — predicting from init",
                     model_dir)
-    # multi-process: this host sweeps mentions[lo:hi) on a local mesh and
-    # the `.scores` shards merge byte-identically (_common.begin_predict)
+    # multi-process: this host sweeps mentions[lo:hi) on a local mesh; the
+    # `.scores` shards merge by byte-exact concatenation and floats match a
+    # single-host sweep within 1 ulp of %.6f (_common.begin_predict)
     total_mentions = len(ds.ids)
     pmesh, state, table, (lo, hi) = begin_predict(
         rt, state, table, len(ds.ids))

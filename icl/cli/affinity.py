@@ -166,7 +166,8 @@ def main(argv=None) -> None:
     if ckpt.latest_step is None:
         LOG.warning("no checkpoint in %s — predicting from init", model_dir)
     # multi-process: this host sweeps images[lo:hi) on a local mesh and the
-    # `.scores` shards merge byte-identically (icl/cli/_common.begin_predict)
+    # `.scores` shards merge by byte-exact concatenation; floats match a
+    # single-host sweep within 1 ulp of %.6f (icl/cli/_common.begin_predict)
     total_cells = ds.num_cells
     pmesh, state, table, (lo, hi) = begin_predict(
         rt, state, table, len(ds.images),

@@ -104,9 +104,14 @@ def write_scores_sharded(
     the dataset order (:func:`icl.dist.mesh.predict_partition`) and writes
     them to ``<path>.part-<k>`` through the same formatting chain as
     :func:`write_scores`; after a barrier, process 0 concatenates the parts
-    in process order — byte-identical to a single-process write of the full
-    arrays — writes the meta sidecar with the GLOBAL example count, and a
-    second barrier lets every process delete its own part file.
+    in process order — a byte-exact concatenation: given the same
+    probability arrays, the merged file is byte-identical to a
+    single-process write.  (Whether the arrays themselves match a
+    single-host sweep is the CALLER's sweep contract: ids+order exact,
+    floats within ~1 ulp of the %.6f format across topologies, byte-equal
+    at fixed topology — see docs/MIGRATION.md "Multi-host predict".)
+    Process 0 then writes the meta sidecar with the GLOBAL example count,
+    and a second barrier lets every process delete its own part file.
 
     ``path`` must live on storage visible to every process (the same
     contract the orbax checkpoint directory already carries on a pod) —
