@@ -55,6 +55,18 @@ class SynthConfig:
     #    default's 1 + (entity_index % 2) is NOT observable (the same word
     #    can be entity 0 in one image and entity 1 in another).
     planted: bool = False
+    # Skewed-class planted relations (SURVEY §6.4: null dominates ~0.9 of
+    # pairs in the real data).  When set (planted mode only), only pairs
+    # whose BOTH span head words fall among the first N entity words get a
+    # non-null label: same word → coref, wi<wj → subset_ij, wi>wj →
+    # subset_ji; every other pair is null.  Still a deterministic function
+    # of the observable words (a model that learns N word identities and
+    # their order generalizes to held-out pairs), but with N=3 of 8 entity
+    # words the class mass lands at ~0.89 null / 0.08 coref / ~0.02+0.01
+    # subsets — the regime where unweighted CE collapses to the null prior
+    # and the production class weighting (--null_weight) must rescue
+    # minority recall.  None keeps the near-balanced parity rule above.
+    planted_active_words: int | None = None
 
 
 def _make_vocab(cfg: SynthConfig) -> list[str]:
@@ -168,7 +180,20 @@ def generate_dataset(data_dir: str, split: str = "train",
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 ei, ej = ms[i]._entity, ms[j]._entity  # type: ignore[attr-defined]
-                if cfg.planted and ei >= 0 and ej >= 0:
+                if (cfg.planted and cfg.planted_active_words is not None
+                        and ei >= 0 and ej >= 0):
+                    # skewed-class rule (see planted_active_words)
+                    wi, wj = int(entity_words[ei]), int(entity_words[ej])
+                    act = cfg.planted_active_words
+                    if wi >= act or wj >= act:
+                        lbl = 0
+                    elif wi == wj:
+                        lbl = 1
+                    elif wi < wj:
+                        lbl = 2
+                    else:
+                        lbl = 3
+                elif cfg.planted and ei >= 0 and ej >= 0:
                     # word-parity rule (SynthConfig.planted): each class is
                     # a function of the two span head words SEPARATELY
                     # (same-word / even-odd / odd-even / rest), so a model

@@ -78,6 +78,80 @@ def test_relation_converges_f32_and_bf16_match(planted, tmp_path):
     assert abs(acc_f32 - acc_bf16) <= 0.04, (acc_f32, acc_bf16)
 
 
+@pytest.fixture(scope="module")
+def planted_skew(tmp_path_factory):
+    """Skewed-class planted relations: ~0.90 null / 0.06 coref / ~0.02+0.02
+    subsets (SURVEY §6.4's regime), via SynthConfig.planted_active_words."""
+    from icl.testing import SynthConfig, generate_dataset
+
+    d = tmp_path_factory.mktemp("planted_skew")
+    cfg = dict(captions_per_image=5, vocab_size=16, emb_dim=16,
+               max_mentions_per_caption=2, max_boxes_per_image=4,
+               planted=True, planted_active_words=3)
+    generate_dataset(str(d), "train", SynthConfig(num_images=128, seed=1,
+                                                  **cfg))
+    generate_dataset(str(d), "dev", SynthConfig(num_images=48, seed=1,
+                                                **cfg))
+    return d
+
+
+def _relation_scoredict(scores_path, feats_path):
+    from icl.eval.scoredict import ScoreDict
+    from icl.models.relation import RELATION_CLASSES
+
+    ids, probs = read_scores(str(scores_path))
+    gold = {ex.example_id: int(ex.label) for ex in read_feats(str(feats_path))}
+    sd = ScoreDict(labels=list(RELATION_CLASSES))
+    sd.increment_all([RELATION_CLASSES[gold[i]] for i in ids],
+                     [RELATION_CLASSES[int(p)] for p in probs.argmax(1)])
+    return sd
+
+
+def test_relation_skewed_classes_need_weighting(planted_skew, tmp_path):
+    """Class-weighted CE at realistic skew (VERDICT r4 weak#2): the
+    near-balanced planted gate cannot catch a class-weighting bug, because
+    accuracy is trivially ~0.9 by predicting null.  At ~0.9 null mass and a
+    3-epoch budget the production ``--null_weight 0.3`` recalls the
+    minority classes (macro recall ≥ 0.65 across piloted seeds: 0.758 /
+    0.888 / 0.772 / 0.849) while unweighted CE sits at the null prior
+    (macro recall ≤ 0.46 in the same pilots) — so the gate FAILS when
+    weighting is disabled, and the contrast assertion keeps it honest if
+    a future change lets unweighted CE catch up (re-tighten the budget
+    then).  Gates F1/recall through ScoreDict, not accuracy."""
+    from icl.cli import relation
+    from icl.models.relation import RELATION_CLASSES
+
+    minority = [c for c in RELATION_CLASSES if c != "null"]
+
+    def run(tag, null_weight):
+        model = tmp_path / f"{tag}.model"
+        scores = tmp_path / f"{tag}.scores"
+        common = ["--data_dir", str(planted_skew), "--images_per_batch",
+                  "16", "--mesh", "8", "--model_file", str(model)]
+        relation.main(["--train", "--data_split", "train", "--epochs", "3",
+                       "--lstm_hidden_width", "24", "--head_hidden", "48",
+                       "--dropout", "0.0", "--seed", "3",
+                       "--learn_rate", "0.01",
+                       "--null_weight", str(null_weight), *common])
+        relation.main(["--predict", "--data_split", "dev",
+                       "--scores_file", str(scores), *common])
+        sd = _relation_scoredict(scores,
+                                 planted_skew / "dev.relation.feats")
+        rec = sum(sd.recall(c) for c in minority) / len(minority)
+        f1 = sum(sd.f1(c) for c in minority) / len(minority)
+        return sd, rec, f1
+
+    sd_w, rec_w, f1_w = run("rel_weighted", 0.3)
+    assert sum(sd_w.gold_count(c) for c in minority) >= 100
+    assert rec_w >= 0.65, f"weighted minority macro-recall {rec_w:.3f}"
+    assert f1_w >= 0.55, f"weighted minority macro-F1 {f1_w:.3f}"
+    assert sd_w.f1("null") >= 0.93, sd_w.table()
+    # disabling the weighting must lose the minority classes — the
+    # property this gate exists to protect
+    _, rec_u, _ = run("rel_unweighted", 1.0)
+    assert rec_w - rec_u >= 0.10, (rec_w, rec_u)
+
+
 def test_affinity_converges(planted, tmp_path):
     from icl.cli import affinity
 
