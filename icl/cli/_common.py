@@ -69,7 +69,10 @@ def base_parser(task: str, description: str) -> argparse.ArgumentParser:
                         "(each host feeds its data-axis slice)")
     p.add_argument("--eval_split", default="dev")
     p.add_argument("--eval_batches", type=int, default=16,
-                   help="max eval batches per --eval_every hook")
+                   help="max eval batches per --eval_every hook (pinned "
+                        "on device for the whole run — the hook logs the "
+                        "MB). 0: evaluate the WHOLE eval split, streamed "
+                        "to device per eval instead of pinned")
     p.add_argument("--early_stop", type=int, default=0,
                    help="stop training once the --eval_every dev loss has "
                         "not improved for N consecutive evals (the Keras-"

@@ -72,14 +72,22 @@ def _eval_placer(mesh) -> Callable:
 
 
 def make_grid_eval_fn(model, table, eval_batches: list, mesh,
-                      class_weights=None) -> Callable:
+                      class_weights=None, pin: bool = True) -> Callable:
     """Build ``eval_fn(state) -> {"loss", "acc"}`` over fixed batches.
 
     ``eval_batches``: list of HOST-side batch dicts that carry
     ``grid_label``/``grid_valid`` (RelationBatcher with ``build_grid=True``,
     or any AffinityBatcher batch).  The list is built ONCE (seeded shuffle
-    in :func:`build_eval_hook`, then frozen) and placed on the mesh here,
-    so successive evals are comparable point-to-point.
+    in :func:`build_eval_hook`, then frozen), so successive evals are
+    comparable point-to-point.
+
+    ``pin=True`` places every batch on the mesh once and holds it for the
+    whole run (fastest; device memory = the whole sample — the hook log
+    prints the MB).  ``pin=False`` streams each batch to device per eval
+    call instead (one batch resident at a time) — the ``--eval_batches 0``
+    whole-split mode, where pinning the full dev split would not fit.
+    Both modes run the identical jitted reduction on identical values, so
+    losses are bitwise-equal (tests/integration/test_eval_full_split.py).
     """
     # A class weight <= 0 makes grid-form metrics degenerate (the kernel
     # derives validity from weight > 0, so that class would drop out of the
@@ -106,8 +114,7 @@ def make_grid_eval_fn(model, table, eval_batches: list, mesh,
         if degenerate:
             tree["u"] = _host_cell_weights(hb["grid_label"],
                                            hb["grid_valid"], None)
-        dev = place(tree)
-        prepared.append((dev["b"], dev["w"], dev.get("u"), wsum))
+        prepared.append((place(tree) if pin else tree, wsum))
 
     @jax.jit
     def one(params, jb, weights):
@@ -120,7 +127,9 @@ def make_grid_eval_fn(model, table, eval_batches: list, mesh,
     def eval_fn(state):
         loss_sum = hits = nval = 0.0
         wsum = 0.0
-        for jb, weights, uniform, w in prepared:
+        for tree, w in prepared:
+            dev = tree if pin else place(tree)
+            jb, weights, uniform = dev["b"], dev["w"], dev.get("u")
             ls, h, nv = one(state.params, jb, weights)
             if uniform is not None:
                 _, h, nv = one(state.params, jb, uniform)
@@ -150,7 +159,9 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
         LOG.warning("--eval_every ignored: eval split %r not loadable (%s)",
                     args.eval_split, e)
         return None
-    cap = max(getattr(args, "eval_batches", 16), 1)
+    cap_arg = getattr(args, "eval_batches", 16)
+    full = cap_arg == 0          # 0 = the WHOLE split, streamed per eval
+    cap = None if full else max(cap_arg, 1)
     batches = []
     # seeded shuffle: the batchers schedule bucket-by-bucket, so taking the
     # FIRST cap batches unshuffled would evaluate only the smallest-bucket
@@ -159,7 +170,7 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
     rng = np.random.default_rng(getattr(args, "seed", 0))
     for b in batcher.batches(ds, rng=rng):
         batches.append({k: np.asarray(v) for k, v in b.arrays.items()})
-        if len(batches) >= cap:
+        if cap is not None and len(batches) >= cap:
             break
     if not batches:
         LOG.warning("--eval_every ignored: eval split %r is empty",
@@ -167,24 +178,30 @@ def build_eval_hook(args, model, table, mesh, load_dataset, batcher,
         return None
     n = int(sum(b["img_valid"].sum() for b in batches))
     mb = sum(sum(v.nbytes for v in b.values()) for b in batches) / 2**20
-    LOG.info("eval hook: %d batches (%d images, %.0f MB pinned on device) "
+    LOG.info("eval hook: %d batches (%d images, %.0f MB %s) "
              "from %s every %d steps",
-             len(batches), n, mb, args.eval_split, args.eval_every)
-    return make_grid_eval_fn(model, table, batches, mesh, class_weights)
+             len(batches), n, mb,
+             "streamed to device per eval" if full else "pinned on device",
+             args.eval_split, args.eval_every)
+    return make_grid_eval_fn(model, table, batches, mesh, class_weights,
+                             pin=not full)
 
 
-def make_mention_eval_fn(model, table, eval_batches: list, mesh) -> Callable:
+def make_mention_eval_fn(model, table, eval_batches: list, mesh,
+                         pin: bool = True) -> Callable:
     """Mention-task (nonvisual/cardinality) analog of make_grid_eval_fn.
 
     ``eval_batches``: list of HOST-side ``(token_ids, lengths, labels,
-    valid)`` tuples, placed on the mesh here.  Deterministic forward,
-    shared :mod:`icl.ops.ce` CE, normalized across the whole eval set.
+    valid)`` tuples.  Deterministic forward, shared :mod:`icl.ops.ce` CE,
+    normalized across the whole eval set.  ``pin`` as in
+    :func:`make_grid_eval_fn`: device-resident batches vs streamed per
+    eval call (the ``--eval_batches 0`` whole-split mode).
     """
     from icl.models.nonvisual import mean_pool_tokens
     from icl.ops.ce import onehot_ce
 
     place = _eval_placer(mesh)
-    prepared = [place(hb) for hb in eval_batches]
+    prepared = [place(hb) if pin else hb for hb in eval_batches]
 
     @jax.jit
     def one(params, tok, ln, lab, valid):
@@ -198,7 +215,8 @@ def make_mention_eval_fn(model, table, eval_batches: list, mesh) -> Callable:
 
     def eval_fn(state):
         loss_sum = hits = nval = 0.0
-        for tok, ln, lab, valid in prepared:
+        for hb in prepared:
+            tok, ln, lab, valid = hb if pin else place(hb)
             ls, h, nv = one(state.params, tok, ln, lab, valid)
             loss_sum += float(ls)
             hits += float(h)
@@ -221,7 +239,9 @@ def build_mention_eval_hook(args, model, table, mesh, task, emb,
         LOG.warning("--eval_every ignored: eval split %r not loadable (%s)",
                     args.eval_split, e)
         return None
-    cap = max(getattr(args, "eval_batches", 16), 1)
+    cap_arg = getattr(args, "eval_batches", 16)
+    full = cap_arg == 0          # 0 = the WHOLE split, streamed per eval
+    cap = None if full else max(cap_arg, 1)
     arrays = {"token_ids": ds.token_ids, "lengths": ds.lengths,
               "labels": ds.labels}
     rng = np.random.default_rng(getattr(args, "seed", 0))
@@ -232,13 +252,15 @@ def build_mention_eval_hook(args, model, table, mesh, task, emb,
                         np.asarray(b.arrays["lengths"]),
                         np.asarray(b.arrays["labels"]),
                         np.asarray(b.valid)))
-        if len(batches) >= cap:
+        if cap is not None and len(batches) >= cap:
             break
     if not batches:
         LOG.warning("--eval_every ignored: eval split %r is empty",
                     args.eval_split)
         return None
     n = int(sum(v.sum() for *_, v in batches))
-    LOG.info("eval hook: %d batches (%d mentions) from %s every %d steps",
-             len(batches), n, args.eval_split, args.eval_every)
-    return make_mention_eval_fn(model, table, batches, mesh)
+    LOG.info("eval hook: %d batches (%d mentions, %s) from %s every "
+             "%d steps", len(batches), n,
+             "streamed per eval" if full else "pinned on device",
+             args.eval_split, args.eval_every)
+    return make_mention_eval_fn(model, table, batches, mesh, pin=not full)
