@@ -1,0 +1,129 @@
+"""The pod config at its own (virtual) scale (VERDICT r4 missing#1).
+
+`configs/mscoco_v5e_pod_dp.json` declares mesh 256x1 / 64 processes /
+images_per_batch 1024, but every prior distributed proof ran at <=8 devices.
+This runs the REAL relation CLI on a **64-virtual-device** CPU mesh with the
+pod config's actual axis arithmetic — batch 1024, the config's caption/
+mention buckets, null_weight 0.3 — through one epoch of a >=1024-image
+split, so a full pod-sized batch (and a padded remainder batch) actually
+shards 64 ways, the eval hook reduces over the 64-device mesh, and a
+synchronous orbax save+restore round-trips the 64-device state.
+
+Model dims are scaled down (the virtual devices share one CPU); the AXIS
+arithmetic is the thing under test: 1024 % 64 rounding, bucket padding at
+pod batch size, eval-batch rounding when the dev split is smaller than one
+pod batch, checkpoint of mesh-replicated arrays.  The 8-device run of the
+identical config must agree numerically (psum reassociation only).
+
+Worker processes set their own device count (tests/dist/_cli_worker.py);
+the in-process conftest pins 8 devices, hence the subprocess layout.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_cli_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+POD_CONFIG = os.path.join(REPO, "configs", "mscoco_v5e_pod_dp.json")
+
+
+def _run_worker(n_devices, task, args, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run(
+        [sys.executable, WORKER, str(n_devices), task, *map(str, args)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=timeout)
+    return p.returncode, p.stdout
+
+
+@pytest.fixture(scope="module")
+def pod_data(tmp_path_factory):
+    """>=1 full pod batch of train images + a sub-batch dev split."""
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = tmp_path_factory.mktemp("pod_virtual")
+    cfg = dict(captions_per_image=2, vocab_size=60, emb_dim=12,
+               max_mentions_per_caption=2, max_boxes_per_image=4)
+    # 1152 = 1024 (one full pod batch) + 128 (a remainder batch that must
+    # still round to the 64-way data axis)
+    generate_dataset(str(d), "train", SynthConfig(num_images=1152, seed=0,
+                                                  **cfg))
+    generate_dataset(str(d), "dev", SynthConfig(num_images=128, seed=1,
+                                                **cfg))
+    return d
+
+
+def _pod_args(data_dir, model_dir, metrics, mesh):
+    return ["--train", "--config", POD_CONFIG,
+            "--data_dir", data_dir, "--model_file", model_dir,
+            "--metrics_file", metrics,
+            # scaled-down overrides; images_per_batch=1024, buckets,
+            # null_weight, learn_rate all come from the pod config itself
+            "--mesh", mesh, "--epochs", "1", "--dropout", "0.0",
+            "--lstm_hidden_width", "6", "--head_hidden", "12",
+            "--seed", "11", "--resume", "none",
+            "--ckpt_every", "1",              # sync save EVERY step
+            "--eval_every", "1", "--eval_batches", "1"]
+
+
+def _eval_rows(metrics_path):
+    rows = [json.loads(l) for l in open(metrics_path)
+            if "eval_loss" in l]
+    assert rows, f"no eval rows in {metrics_path}"
+    return rows
+
+
+def _restored_params(model_dir):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(model_dir)) as mgr:
+        step = mgr.latest_step()
+        assert step is not None, f"no checkpoint under {model_dir}"
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    import jax
+
+    return step, [np.asarray(x) for x in jax.tree.leaves(restored["params"])]
+
+
+def test_pod_config_batch_arithmetic_on_64_virtual_devices(pod_data,
+                                                           tmp_path):
+    runs = {}
+    for mesh in ("64", "8"):
+        mdir = str(tmp_path / f"m{mesh}")
+        metrics = str(tmp_path / f"m{mesh}.jsonl")
+        rc, out = _run_worker(int(mesh), "relation",
+                              _pod_args(str(pod_data), mdir, metrics, mesh))
+        assert rc == 0, out
+        runs[mesh] = (mdir, metrics, out)
+
+    # 1152 images at images_per_batch 1024 -> exactly 2 optimizer steps
+    # (one full pod batch + the remainder), each with an eval-hook row
+    ev64 = _eval_rows(runs["64"][1])
+    ev8 = _eval_rows(runs["8"][1])
+    assert [r["step"] for r in ev64] == [1, 2], ev64
+    assert [r["step"] for r in ev8] == [1, 2], ev8
+
+    # the 64-way and 8-way runs see identical batches and identical math up
+    # to gradient-psum reassociation: dev losses agree to f32 noise
+    for a, b in zip(ev64, ev8):
+        np.testing.assert_allclose(a["eval_loss"], b["eval_loss"],
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(a["eval_acc"], b["eval_acc"],
+                                   rtol=0, atol=1e-6)
+
+    # the synchronous per-step saves round-tripped 64-device mesh state:
+    # restored params match the 8-device run's leaf-for-leaf
+    step64, p64 = _restored_params(runs["64"][0])
+    step8, p8 = _restored_params(runs["8"][0])
+    assert step64 == step8 == 2
+    assert len(p64) == len(p8)
+    for a, b in zip(p64, p8):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
