@@ -136,6 +136,22 @@ class Checkpointer:
             # 2-process CLI run hung in exactly this shape).  Pod hosts are
             # co-located, so their pull is PCIe-fast; the 0.6-1.5 s pull
             # the async path hides is a relay-host artifact.
+            #
+            # Measured r5 (tools/ckpt_wall_mp.py, 2-process CLI at the
+            # 24 MB production state): loop stall ~0.2-0.6 s/save on the
+            # burst-throttled build vCPU, attributed NOT to this pull
+            # (1-5 ms co-located) but to orbax's own synchronous save
+            # prefix — wait-for-previous-commit + payload host copy +
+            # step-directory barriers (already coordination-service-based
+            # and thread-safe; async_options create-directories-async is
+            # default-on).  orbax's WRITE is already asynchronous here
+            # (enable_async_checkpointing defaults True).  Negative result
+            # #7: handing DEVICE arrays straight to StandardSave (letting
+            # orbax own the D2H) measured strictly worse — 0.3-1.7 s vs
+            # 0.1-0.3 s for the numpy payload, same 2-process harness, no
+            # deadlock either way.  At the pod config's ckpt_every=500
+            # (1.1 s of device compute), the orbax sync prefix is the
+            # checkpoint overhead bound — raise --ckpt_every if it shows.
             pull_and_enqueue()
             if wait:
                 self._mgr.wait_until_finished()

@@ -170,6 +170,7 @@ def run_training(state: TrainState, step_fn: Callable,
         # mirror keeps the dispatch queue full; device work is only forced
         # at log/eval/checkpoint points.
         step = int(state.step)
+        save_stall, n_saves = 0.0, 0   # loop-visible checkpoint-save wall
         best_eval = float("inf")
         best_state = None      # host copy of the best-eval state
         stale_evals = 0
@@ -242,8 +243,14 @@ def run_training(state: TrainState, step_fn: Callable,
                                 stop_early = True
                                 break
                 if ckpt and cfg.ckpt_every and step % cfg.ckpt_every == 0:
+                    t_save = time.perf_counter()
                     ckpt.save(state, epoch=epoch,
                               batch_in_epoch=batch_in_epoch)
+                    dt_save = time.perf_counter() - t_save
+                    save_stall += dt_save
+                    n_saves += 1
+                    LOG.info("checkpoint save at step %d: loop stalled "
+                             "%.0f ms", step, dt_save * 1e3)
             if stop_early:
                 break
         if stop_early and best_state is not None:
@@ -254,6 +261,9 @@ def run_training(state: TrainState, step_fn: Callable,
             state = best_state
             if cfg.mesh is not None:
                 state = replicate(state, cfg.mesh)
+        if n_saves:
+            LOG.info("periodic checkpoint saves: %d, total loop-visible "
+                     "stall %.2f s", n_saves, save_stall)
         if ckpt:
             if stop_early and best_state is not None:
                 # prune checkpoints past the best step — otherwise predict
