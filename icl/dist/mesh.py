@@ -224,11 +224,17 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
     Multi-process only: single-process callers degrade before calling.
     """
     import os
+    import time
+
+    from icl.util.log import LOG
 
     k, p = jax.process_index(), jax.process_count()
     part = f"{path}.{tag}-{k:05d}"
+    t0 = time.perf_counter()
     write_part(part)
+    t_write = time.perf_counter()
     sync_processes(f"icl:{tag}:parts:{os.path.basename(path)}")
+    t_barrier = time.perf_counter()
     result = None
     merge_err = None
     if k == 0:
@@ -236,7 +242,14 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
             result = merge([f"{path}.{tag}-{i:05d}" for i in range(p)])
         except BaseException as e:   # re-raised after the barrier
             merge_err = e
+    t_merge = time.perf_counter()
     sync_processes(f"icl:{tag}:merged:{os.path.basename(path)}")
+    # pod operators read these to attribute a slow sharded write: a big
+    # barrier wait = straggler host (rebalance predict_partition weights),
+    # a big merge = storage bandwidth on rank 0
+    LOG.info("gather_parts[%s] rank %d/%d: part write %.2f s, barrier "
+             "wait %.2f s, merge %.2f s", tag, k, p, t_write - t0,
+             t_barrier - t_write, t_merge - t_barrier if k == 0 else 0.0)
     if merge_err is not None:
         raise merge_err
     os.remove(part)   # each process owns (wrote) exactly this file

@@ -187,6 +187,13 @@ class Scorer:
         emb_path = embeddings_file or os.path.join(data_dir, "embeddings.txt")
         self.emb = EmbeddingStore.load(emb_path)
         self.table = jnp.asarray(self.emb.table)
+        # lifetime counters, surfaced on /healthz: items/device_calls is
+        # the effective batching ratio (→1.0 under serial clients; grows
+        # with concurrency toward the _IMG_SPEC cap) — how operators see
+        # whether concurrent load actually shares device dispatches.
+        # Single-writer: only the collector thread (or, with coalescing
+        # disabled, the request thread) mutates them inside _run_group.
+        self.stats = {"device_calls": 0, "items": 0}
         self.coalescer = (None if batch_window_ms < 0 else
                           _Coalescer(self._run_group,
                                      window_s=batch_window_ms / 1000.0,
@@ -388,6 +395,8 @@ class Scorer:
         rows: list = []
         for s in range(0, len(arrays_list), cap):
             chunk = arrays_list[s:s + cap]
+            self.stats["device_calls"] += 1
+            self.stats["items"] += len(chunk)
             probs = np.asarray(t["predict"](t["params"], self.table,
                                             self._stack_arrays(chunk)))
             rows.extend(probs[r] for r in range(len(chunk)))
@@ -512,7 +521,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply(200, {"status": "ok",
-                              "tasks": sorted(self.scorer.tasks)})
+                              "tasks": sorted(self.scorer.tasks),
+                              "coalescer": dict(self.scorer.stats)})
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -593,7 +603,14 @@ def serve(data_dir: str, port: int, embeddings_file: str | None = None,
         "scorer": scorer,
         "max_body_bytes": int(max_body_mb * 2**20),
         "max_items": max_items})
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    # http.server's default listen backlog is 5: a burst of concurrent
+    # client CONNECTS (not requests — those are bounded by max_pending)
+    # overflows it and the kernel RSTs the overflow, which a client sees
+    # as "connection reset by peer" before any HTTP exchange.  256 covers
+    # the same burst the pending queue is sized for.
+    server_cls = type("Server", (ThreadingHTTPServer,),
+                      {"request_queue_size": 256})
+    httpd = server_cls(("127.0.0.1", port), handler)
     LOG.info("serve: listening on 127.0.0.1:%d (tasks: %s)", httpd.server_port,
              ", ".join(sorted(scorer.tasks)))
     return httpd

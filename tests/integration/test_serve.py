@@ -48,6 +48,20 @@ def test_healthz(served):
         body = json.loads(r.read())
     assert body["status"] == "ok"
     assert "nonvisual" in body["tasks"] and "relation" in body["tasks"]
+    # batching counters for operators (tools/serve_bench.py reads deltas):
+    # they count the GROUPED image-task calls (mention tasks are a single
+    # direct dispatch by construction; warm-up drives predict directly),
+    # so a relation request must advance both by exactly its group count
+    stats0 = body["coalescer"]
+    assert stats0["items"] >= stats0["device_calls"] >= 0
+    _post(url, "/score/relation", {"images": [{
+        "id": "hz", "captions": [["w001", "w002"]],
+        "mentions": [{"caption": 0, "first": 0, "last": 0},
+                     {"caption": 0, "first": 1, "last": 1}]}]})
+    with urllib.request.urlopen(url + "/healthz") as r:
+        stats1 = json.loads(r.read())["coalescer"]
+    assert stats1["device_calls"] >= stats0["device_calls"] + 1
+    assert stats1["items"] >= stats0["items"] + 1
 
 
 def test_score_nonvisual(served):

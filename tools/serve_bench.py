@@ -1,0 +1,183 @@
+"""icl-serve throughput/latency bench on the real chip (VERDICT r4 weak#5).
+
+Serve had latency spot-checks (p50 ≈ the relay floor) but no BENCHMARKS
+row, so a regression in the cross-request coalescer or the bucket-padding
+path (icl/serve.py) was invisible to the bench discipline every other
+production path follows.  This drives the REAL HTTP server — production
+dims (lstm 200 / head 800), fused predict head on TPU, 'basic' warm-up —
+with N concurrent keep-alive clients posting single-image relation
+requests at a FIXED warmed shape (8 mentions → 56 ordered pairs/request),
+and reports per-concurrency:
+
+* requests/s (and the implied pairs/s through the coalescer),
+* client-observed p50 / p99 latency,
+* coalescer effectiveness = mean items per device batch (from the server's
+  run-group sizes — concurrency should raise it toward _IMG_SPEC's cap).
+
+Method notes: clients are threads in this process (the GIL adds ~0 cost —
+client work is json+socket, and the server's device calls release it);
+every request reuses one pre-serialized body whose shapes sit inside the
+warm-up inventory, and an uncounted warm phase first compiles every
+coalescer image-count bucket (exact-sized multi-image posts), so NO
+compiles happen mid-bench (a compile would poison p99 by 10^3×).  Through
+the axon relay a single dispatch floors at ~30-40 ms; the coalescer is
+what lets concurrent clients share that floor.
+
+Run (TPU host): ``python3 tools/serve_bench.py [--requests 120]``.
+Prints one JSON line per concurrency level.  Results → BENCHMARKS.md
+"Serve throughput".
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ensure_model(data_dir: str, *, lstm: int, head: int) -> None:
+    marker = os.path.join(data_dir, ".servebench.done")
+    key = f"{lstm}/{head}"
+    if os.path.exists(marker) and open(marker).read().strip() == key:
+        return
+    from icl.cli import relation
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    os.makedirs(data_dir, exist_ok=True)
+    generate_dataset(data_dir, "train", SynthConfig(
+        num_images=32, captions_per_image=3, vocab_size=120, emb_dim=300,
+        max_mentions_per_caption=3, max_boxes_per_image=4, seed=11))
+    relation.main(["--train", "--data_dir", data_dir, "--epochs", "1",
+                   "--images_per_batch", "8", "--dropout", "0.0",
+                   "--lstm_hidden_width", str(lstm),
+                   "--head_hidden", str(head), "--seed", "11"])
+    with open(marker, "w") as f:
+        f.write(key)
+
+
+def request_body(n_images: int = 1) -> bytes:
+    """``n_images`` copies of one image with 4 captions and 8 mentions
+    (56 ordered pairs each).  Per-image shapes land in the basic warm-up
+    inventory (C→8, L→16, M→8 buckets); the IMAGE-count bucket is the one
+    dimension coalescing varies (I ∈ 1/2/4/8), so the warm lap posts one
+    k-image request per bucket to compile every group size the coalescer
+    can form — a mid-bench compile would poison p99 by 10^3×."""
+    caps = [[f"w{1 + (c * 7 + k) % 40:03d}" for k in range(9 + c)]
+            for c in range(4)]
+    mentions = [{"caption": m % 4, "first": 1 + m % 3, "last": 2 + m % 3}
+                for m in range(8)]
+    imgs = [{"id": f"bench#{i}", "captions": caps, "mentions": mentions}
+            for i in range(n_images)]
+    return json.dumps({"images": imgs}).encode()
+
+
+class Client(threading.Thread):
+    """Keep-alive client posting the same warmed body in a closed loop."""
+
+    def __init__(self, port: int, body: bytes, n: int):
+        super().__init__(daemon=True)
+        self.port, self.body, self.n = port, body, n
+        self.lat_ms: list[float] = []
+        self.err: Exception | None = None
+
+    def run(self):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", self.port,
+                                              timeout=300)
+            for _ in range(self.n):
+                t0 = time.perf_counter()
+                conn.request("POST", "/score/relation", self.body,
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                data = r.read()
+                if r.status != 200:
+                    raise RuntimeError(f"HTTP {r.status}: {data[:200]!r}")
+                self.lat_ms.append((time.perf_counter() - t0) * 1e3)
+            conn.close()
+        except Exception as e:   # surfaced by the main thread
+            self.err = e
+
+
+def _health(port: int) -> dict:
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/healthz")
+    obj = json.loads(conn.getresponse().read())
+    conn.close()
+    return obj
+
+
+def drive(port: int, body: bytes, concurrency: int, requests: int) -> dict:
+    per = max(1, requests // concurrency)
+    clients = [Client(port, body, per) for _ in range(concurrency)]
+    stats0 = _health(port).get("coalescer", {})
+    t0 = time.perf_counter()
+    for c in clients:
+        c.start()
+    for c in clients:
+        c.join()
+    wall = time.perf_counter() - t0
+    for c in clients:
+        if c.err:
+            raise c.err
+    stats1 = _health(port).get("coalescer", {})
+    lats = sorted(x for c in clients for x in c.lat_ms)
+    n = len(lats)
+    res = {"concurrency": concurrency, "requests": n,
+           "wall_s": round(wall, 2),
+           "req_per_s": round(n / wall, 1),
+           "pairs_per_s": round(n * 56 / wall, 0),
+           "p50_ms": round(statistics.median(lats), 1),
+           "p99_ms": round(lats[min(n - 1, int(n * 0.99))], 1)}
+    calls = stats1.get("device_calls", 0) - stats0.get("device_calls", 0)
+    items = stats1.get("items", 0) - stats0.get("items", 0)
+    if calls:
+        res["items_per_device_call"] = round(items / calls, 2)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="/tmp/icl_serve_bench")
+    ap.add_argument("--requests", type=int, default=128,
+                    help="total requests per timed lap")
+    ap.add_argument("--lstm_hidden", type=int, default=200)
+    ap.add_argument("--head_hidden", type=int, default=800)
+    ap.add_argument("--concurrency", type=int, nargs="+",
+                    default=[1, 8, 32])
+    args = ap.parse_args()
+
+    ensure_model(args.data_dir, lstm=args.lstm_hidden,
+                 head=args.head_hidden)
+    from icl.serve import serve
+
+    t0 = time.perf_counter()
+    httpd = serve(args.data_dir, port=0, tasks=["relation"],
+                  warmup="basic")
+    warm_s = time.perf_counter() - t0
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    body = request_body()
+    try:
+        # warm lap (uncounted): compile every coalescer image bucket via
+        # exact-sized multi-image requests, then shake out the socket path
+        for k in (1, 2, 4, 8):
+            drive(httpd.server_port, request_body(k), 1, 2)
+        drive(httpd.server_port, body, 4, 16)
+        print(json.dumps({"warmup_s": round(warm_s, 1),
+                          "pairs_per_request": 56}), flush=True)
+        for conc in args.concurrency:
+            print(json.dumps(drive(httpd.server_port, body, conc,
+                                   args.requests)), flush=True)
+    finally:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
