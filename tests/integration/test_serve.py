@@ -43,7 +43,7 @@ def _post(url, path, obj):
 
 
 def test_healthz(served):
-    url, _ = served
+    url, httpd = served
     with urllib.request.urlopen(url + "/healthz") as r:
         body = json.loads(r.read())
     assert body["status"] == "ok"
@@ -62,6 +62,10 @@ def test_healthz(served):
         stats1 = json.loads(r.read())["coalescer"]
     assert stats1["device_calls"] >= stats0["device_calls"] + 1
     assert stats1["items"] >= stats0["items"] + 1
+    # production burst posture: http.server's default listen backlog (5)
+    # kernel-RSTs concurrent connection bursts (found by serve_bench on
+    # the real chip) — the server must keep the raised backlog
+    assert httpd.request_queue_size >= 256
 
 
 def test_score_nonvisual(served):
