@@ -184,6 +184,8 @@ class Scorer:
                  tasks: list[str] | None = None,
                  batch_window_ms: float = 2.0,
                  max_pending: int = 256):
+        import threading
+
         emb_path = embeddings_file or os.path.join(data_dir, "embeddings.txt")
         self.emb = EmbeddingStore.load(emb_path)
         self.table = jnp.asarray(self.emb.table)
@@ -191,9 +193,12 @@ class Scorer:
         # the effective batching ratio (→1.0 under serial clients; grows
         # with concurrency toward the _IMG_SPEC cap) — how operators see
         # whether concurrent load actually shares device dispatches.
-        # Single-writer: only the collector thread (or, with coalescing
-        # disabled, the request thread) mutates them inside _run_group.
+        # Lock-guarded: with coalescing on only the collector thread
+        # writes, but with it disabled every ThreadingHTTPServer request
+        # thread calls _run_group, and an unguarded `+= 1` is a
+        # read-modify-write that drops counts under contention.
         self.stats = {"device_calls": 0, "items": 0}
+        self._stats_lock = threading.Lock()
         self.coalescer = (None if batch_window_ms < 0 else
                           _Coalescer(self._run_group,
                                      window_s=batch_window_ms / 1000.0,
@@ -395,8 +400,9 @@ class Scorer:
         rows: list = []
         for s in range(0, len(arrays_list), cap):
             chunk = arrays_list[s:s + cap]
-            self.stats["device_calls"] += 1
-            self.stats["items"] += len(chunk)
+            with self._stats_lock:   # request threads race here when
+                self.stats["device_calls"] += 1  # coalescing is disabled
+                self.stats["items"] += len(chunk)
             probs = np.asarray(t["predict"](t["params"], self.table,
                                             self._stack_arrays(chunk)))
             rows.extend(probs[r] for r in range(len(chunk)))
@@ -520,9 +526,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
+            with self.scorer._stats_lock:   # consistent counter snapshot
+                stats = dict(self.scorer.stats)
             self._reply(200, {"status": "ok",
                               "tasks": sorted(self.scorer.tasks),
-                              "coalescer": dict(self.scorer.stats)})
+                              "coalescer": stats})
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 

@@ -408,3 +408,41 @@ def test_collector_thread_survives_basexception(served):
     status, body = _post(url, "/score/nonvisual", {
         "mentions": [{"tokens": ["w001"]}]})
     assert status == 200 and "scores" in body
+
+
+def test_stats_counters_exact_under_concurrent_run_group():
+    """The /healthz batching counters must not drop increments when
+    coalescing is disabled: every ThreadingHTTPServer request thread then
+    calls _run_group directly, and an unguarded `+=` is a read-modify-write
+    that loses counts under contention.  Drives _run_group bare (no HTTP)
+    from many threads and asserts the totals are exact."""
+    import threading as th
+
+    from icl.serve import Scorer, _IMG_SPEC
+
+    scorer = Scorer.__new__(Scorer)   # bypass model loading; wire minimum
+    scorer.stats = {"device_calls": 0, "items": 0}
+    scorer._stats_lock = th.Lock()
+    scorer.table = None
+    cap = _IMG_SPEC.boundaries[-1]
+    scorer.tasks = {"t": {
+        "params": None,
+        "predict": lambda params, table, batch: np.zeros((cap, 2)),
+    }}
+
+    threads, per_thread, items_per_call = 8, 50, 3
+    arrays = {"x": np.zeros(2, np.float32)}
+    barrier = th.Barrier(threads)
+
+    def worker():
+        barrier.wait()   # maximize contention on the counters
+        for _ in range(per_thread):
+            scorer._run_group("t", (), [arrays] * items_per_call)
+
+    ts = [th.Thread(target=worker) for _ in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert scorer.stats["device_calls"] == threads * per_thread
+    assert scorer.stats["items"] == threads * per_thread * items_per_call
