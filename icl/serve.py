@@ -190,14 +190,19 @@ class Scorer:
         self.emb = EmbeddingStore.load(emb_path)
         self.table = jnp.asarray(self.emb.table)
         # lifetime counters, surfaced on /healthz: items/device_calls is
-        # the effective batching ratio (→1.0 under serial clients; grows
-        # with concurrency toward the _IMG_SPEC cap) — how operators see
-        # whether concurrent load actually shares device dispatches.
-        # Lock-guarded: with coalescing on only the collector thread
-        # writes, but with it disabled every ThreadingHTTPServer request
-        # thread calls _run_group, and an unguarded `+= 1` is a
-        # read-modify-write that drops counts under contention.
-        self.stats = {"device_calls": 0, "items": 0}
+        # the effective batching ratio of the GROUPED image tasks (→1.0
+        # under serial clients; grows with concurrency toward the
+        # _IMG_SPEC cap) — how operators see whether concurrent load
+        # actually shares device dispatches.  Mention tasks dispatch
+        # directly (one call per request, already batched within it), so
+        # they get their own pair of counters rather than skewing the
+        # image-group ratio.  Lock-guarded: with coalescing on only the
+        # collector thread writes the image counters, but with it disabled
+        # every ThreadingHTTPServer request thread calls _run_group (and
+        # mention requests always score on their own thread); an unguarded
+        # `+= 1` is a read-modify-write that drops counts under contention.
+        self.stats = {"device_calls": 0, "items": 0,
+                      "mention_calls": 0, "mention_items": 0}
         self._stats_lock = threading.Lock()
         self.coalescer = (None if batch_window_ms < 0 else
                           _Coalescer(self._run_group,
@@ -313,6 +318,9 @@ class Scorer:
         ln = np.zeros(np_, np.int32)
         for r, m in enumerate(mentions):
             tok[r], ln[r] = self.emb.encode_tokens(m["tokens"], L)
+        with self._stats_lock:
+            self.stats["mention_calls"] += 1
+            self.stats["mention_items"] += n
         probs = np.asarray(t["predict"](t["params"], self.table,
                                         jnp.asarray(tok), jnp.asarray(ln)))
         return {

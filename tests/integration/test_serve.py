@@ -49,19 +49,26 @@ def test_healthz(served):
     assert body["status"] == "ok"
     assert "nonvisual" in body["tasks"] and "relation" in body["tasks"]
     # batching counters for operators (tools/serve_bench.py reads deltas):
-    # they count the GROUPED image-task calls (mention tasks are a single
-    # direct dispatch by construction; warm-up drives predict directly),
-    # so a relation request must advance both by exactly its group count
+    # device_calls/items count the GROUPED image-task calls; mention tasks
+    # dispatch directly (one call per request, batched within it) and get
+    # their own mention_calls/mention_items pair (warm-up drives predict
+    # directly and counts in neither)
     stats0 = body["coalescer"]
     assert stats0["items"] >= stats0["device_calls"] >= 0
+    assert stats0["mention_items"] >= stats0["mention_calls"] >= 0
     _post(url, "/score/relation", {"images": [{
         "id": "hz", "captions": [["w001", "w002"]],
         "mentions": [{"caption": 0, "first": 0, "last": 0},
                      {"caption": 0, "first": 1, "last": 1}]}]})
+    _post(url, "/score/nonvisual", {
+        "mentions": [{"tokens": ["w001"]}, {"tokens": ["w002"]}]})
     with urllib.request.urlopen(url + "/healthz") as r:
         stats1 = json.loads(r.read())["coalescer"]
     assert stats1["device_calls"] >= stats0["device_calls"] + 1
     assert stats1["items"] >= stats0["items"] + 1
+    # the 2-mention nonvisual request above = exactly one direct dispatch
+    assert stats1["mention_calls"] == stats0["mention_calls"] + 1
+    assert stats1["mention_items"] == stats0["mention_items"] + 2
     # production burst posture: http.server's default listen backlog (5)
     # kernel-RSTs concurrent connection bursts (found by serve_bench on
     # the real chip) — the server must keep the raised backlog
