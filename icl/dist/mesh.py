@@ -216,11 +216,14 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
 
     ``path`` must live on storage visible to every process (the same
     contract the orbax checkpoint directory carries on a pod) — without
-    it, process 0's merge fails loudly with the missing part path.  The
-    merge runs under try/finally so rank 0 still reaches the second
-    barrier on failure (re-raising after) — otherwise every other host
-    would hang in ``sync_processes`` until the distributed-runtime
-    timeout while only rank 0 reported the error (r4 advisor finding).
+    it, process 0's merge fails loudly with the missing part path.  Merge
+    failure is handled so rank 0 still reaches the post-merge
+    synchronization (otherwise every other host would hang until the
+    distributed-runtime timeout while only rank 0 reported the error —
+    r4 advisor finding), and the OUTCOME is broadcast: on failure EVERY
+    rank raises and KEEPS its part file, so a transient rank-0 error
+    (disk full, flaky storage) doesn't silently destroy the N-1 other
+    hosts' sweep output — the merge can be retried from the parts.
     Multi-process only: single-process callers degrade before calling.
     """
     import os
@@ -243,7 +246,17 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
         except BaseException as e:   # re-raised after the barrier
             merge_err = e
     t_merge = time.perf_counter()
-    sync_processes(f"icl:{tag}:merged:{os.path.basename(path)}")
+    # the post-merge synchronization doubles as the outcome broadcast:
+    # every rank learns whether rank 0's merge succeeded (and the
+    # broadcast's own collective is the barrier that kept ranks from
+    # deleting parts mid-merge)
+    if p > 1:
+        from jax.experimental import multihost_utils
+
+        ok = bool(multihost_utils.broadcast_one_to_all(
+            np.int32(merge_err is None)))
+    else:
+        ok = merge_err is None
     # pod operators read these to attribute a slow sharded write: a big
     # barrier wait = straggler host (rebalance predict_partition weights),
     # a big merge = storage bandwidth on rank 0
@@ -251,7 +264,11 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
              "wait %.2f s, merge %.2f s", tag, k, p, t_write - t0,
              t_barrier - t_write, t_merge - t_barrier if k == 0 else 0.0)
     if merge_err is not None:
-        raise merge_err
+        raise merge_err          # rank 0: the original error, part kept
+    if not ok:
+        raise RuntimeError(
+            f"sharded merge failed on rank 0 for {path} — this rank's "
+            f"part file {part} is kept so the merge can be retried")
     os.remove(part)   # each process owns (wrote) exactly this file
     return result
 
