@@ -375,15 +375,24 @@ def bench_mention(task: str, mentions: int, nbatches: int, dtype: str,
                             nbatches * sweeps * mentions)
 
 
-def _preserved_section(old: str, title_prefix: str, fallback: str) -> str:
-    """Return a '## <title>' section verbatim from the existing
-    BENCHMARKS.md.  The optimization ledger and scale-rehearsal sections
-    are a hand-maintained engineering record appended to across rounds —
-    regenerating the file must carry them forward, not reset them to
-    whatever snapshot this script last hard-coded (r3 review finding)."""
-    m = re.search(rf"(^## {re.escape(title_prefix)}.*?)(?=^## |\Z)", old,
-                  re.M | re.S)
-    return (m.group(1).rstrip() + "\n\n") if m else fallback
+def _preserved_hand_sections(old: str) -> str:
+    """Return every hand-maintained '## <title>' section verbatim from the
+    existing BENCHMARKS.md, in their original order.  These sections (the
+    optimization ledger, scale rehearsal, flagship run, checkpoint wall,
+    serve throughput, DP scaling model, ...) are an engineering record
+    appended to across rounds — regenerating the file must carry ALL of
+    them forward.  An allowlist of known titles silently DELETED the four
+    r5 sections when --full next ran (r5 finding); instead, everything but
+    the sections this script itself generates is preserved."""
+    generated = ("Precision policy", "Timing methodology", "Parity")
+    out = []
+    for m in re.finditer(r"^## (.+?)\n.*?(?=^## |\Z)", old, re.M | re.S):
+        if not m.group(1).strip().startswith(generated):
+            out.append(m.group(0).rstrip() + "\n\n")
+    if not out:
+        return ("## Optimization ledger (relation)\n\n(hand-maintained "
+                "section absent - see git history of BENCHMARKS.md)\n\n")
+    return "".join(out)
 
 
 def main():
@@ -467,11 +476,7 @@ def main():
         if os.path.exists(bm_path):
             with open(bm_path) as f0:
                 old_doc = f0.read()
-        ledger = _preserved_section(
-            old_doc, "Optimization ledger",
-            "## Optimization ledger (relation)\n\n(hand-maintained section"
-            " absent - see git history of BENCHMARKS.md)\n\n")
-        scale = _preserved_section(old_doc, "Scale rehearsal", "")
+        hand_sections = _preserved_hand_sections(old_doc)
         with open(bm_path, "w") as f:
             f.write(
                 "# Benchmarks\n\n"
@@ -528,7 +533,7 @@ def main():
                 "the session policy: one-pass-bf16 DEFAULT in production, "
                 "exact-f32 under 'highest' (parity contexts/tests).\n"
                 "- Training runs at 'default' precision (throughput).\n\n"
-                + ledger + scale +
+                + hand_sections +
                                 "## Timing methodology\n\n"
                 "Work is chained on-device via lax.scan over distinct "
                 "stacked batches inside one jit call and forced by a scalar "
