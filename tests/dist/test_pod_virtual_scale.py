@@ -31,6 +31,7 @@ WORKER = os.path.join(os.path.dirname(__file__), "_cli_worker.py")
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 POD_CONFIG = os.path.join(REPO, "configs", "mscoco_v5e_pod_dp.json")
+SLICE_CONFIG = os.path.join(REPO, "configs", "mscoco_v5e_64chip_dp.json")
 
 
 def _run_worker(n_devices, task, args, timeout=900):
@@ -61,13 +62,15 @@ def pod_data(tmp_path_factory):
     return d
 
 
-def _pod_args(data_dir, model_dir, metrics, mesh):
-    return ["--train", "--config", POD_CONFIG,
+def _pod_args(data_dir, model_dir, metrics, config, mesh=None):
+    return ["--train", "--config", config,
             "--data_dir", data_dir, "--model_file", model_dir,
             "--metrics_file", metrics,
             # scaled-down overrides; images_per_batch=1024, buckets,
-            # null_weight, learn_rate all come from the pod config itself
-            "--mesh", mesh, "--epochs", "1", "--dropout", "0.0",
+            # null_weight, learn_rate — and, when ``mesh`` is None, the
+            # MESH ITSELF — all come from the config file
+            *(["--mesh", mesh] if mesh else []),
+            "--epochs", "1", "--dropout", "0.0",
             "--lstm_hidden_width", "6", "--head_hidden", "12",
             "--seed", "11", "--resume", "none",
             "--ckpt_every", "1",              # sync save EVERY step
@@ -93,14 +96,20 @@ def _restored_params(model_dir):
     return step, [np.asarray(x) for x in jax.tree.leaves(restored["params"])]
 
 
-def _compare_mesh_to_8(pod_data, tmp_path, mesh: str,
+def _compare_mesh_to_8(pod_data, tmp_path, config: str,
                        timeout: int = 900) -> None:
+    """Run the config at its own DECLARED mesh (no --mesh override — the
+    config file's literal `mesh` string is what builds the device grid)
+    and again forced to 8 devices; the two must agree numerically."""
+    declared = json.load(open(config))["mesh"]
+    mesh = declared.split("x")[0]
     runs = {}
     for m in (mesh, "8"):
         mdir = str(tmp_path / f"m{m}")
         metrics = str(tmp_path / f"m{m}.jsonl")
         rc, out = _run_worker(int(m), "relation",
-                              _pod_args(str(pod_data), mdir, metrics, m),
+                              _pod_args(str(pod_data), mdir, metrics, config,
+                                        mesh=None if m == mesh else m),
                               timeout=timeout)
         assert rc == 0, out
         runs[m] = (mdir, metrics, out)
@@ -130,9 +139,13 @@ def _compare_mesh_to_8(pod_data, tmp_path, mesh: str,
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
 
 
-def test_pod_config_batch_arithmetic_on_64_virtual_devices(pod_data,
-                                                           tmp_path):
-    _compare_mesh_to_8(pod_data, tmp_path, "64")
+def test_64chip_slice_config_at_its_declared_mesh(pod_data, tmp_path):
+    # configs/mscoco_v5e_64chip_dp.json — the recommended operating point
+    # (BENCHMARKS.md "DP scaling model": batch 1024 sits above the 64-chip
+    # full-overlap floor, DP efficiency ~1.0).  Its literal `mesh 64x1`
+    # drives the device grid here; batch/bucket arithmetic at that width
+    # must match the 8-device run numerically.
+    _compare_mesh_to_8(pod_data, tmp_path, SLICE_CONFIG)
 
 
 @pytest.mark.skipif(not os.environ.get("ICL_POD_FULL"),
@@ -144,4 +157,4 @@ def test_pod_config_at_full_declared_256_mesh(pod_data, tmp_path):
     # 4 img/device; compile, eval hook, and save all compose at the
     # declared width and match the 8-device run numerically (verified
     # green 2026-08-19, 361 s for the 256-way run on this host)
-    _compare_mesh_to_8(pod_data, tmp_path, "256", timeout=1800)
+    _compare_mesh_to_8(pod_data, tmp_path, POD_CONFIG, timeout=1800)
