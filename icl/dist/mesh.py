@@ -216,14 +216,22 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
 
     ``path`` must live on storage visible to every process (the same
     contract the orbax checkpoint directory carries on a pod) — without
-    it, process 0's merge fails loudly with the missing part path.  Merge
-    failure is handled so rank 0 still reaches the post-merge
-    synchronization (otherwise every other host would hang until the
-    distributed-runtime timeout while only rank 0 reported the error —
-    r4 advisor finding), and the OUTCOME is broadcast: on failure EVERY
-    rank raises and KEEPS its part file, so a transient rank-0 error
-    (disk full, flaky storage) doesn't silently destroy the N-1 other
-    hosts' sweep output — the merge can be retried from the parts.
+    it, process 0's merge fails loudly with the missing part path.
+    FAILURES in either phase are handled so no rank ever stops
+    participating in a collective its peers are waiting at (otherwise the
+    others hang until the distributed-runtime timeout while only the
+    failing rank reports the error — r4 advisor finding):
+
+    * ``write_part`` failure: the parts barrier doubles as a write-outcome
+      allgather, so every rank (including rank 0, BEFORE it attempts a
+      merge over a missing part) learns that some rank failed; all raise,
+      successful ranks KEEP their parts.
+    * ``merge`` failure on rank 0: the outcome is broadcast after the
+      merge; EVERY rank raises and keeps its part file, so a transient
+      rank-0 error (disk full, flaky storage) doesn't silently destroy
+      the N-1 other hosts' sweep output — the merge can be retried from
+      the parts.
+
     Multi-process only: single-process callers degrade before calling.
     """
     import os
@@ -234,10 +242,34 @@ def gather_parts(path: str, tag: str, write_part, merge) -> Any:
     k, p = jax.process_index(), jax.process_count()
     part = f"{path}.{tag}-{k:05d}"
     t0 = time.perf_counter()
-    write_part(part)
+    write_err = None
+    try:
+        write_part(part)
+    except BaseException as e:   # re-raised after the outcome gather
+        write_err = e
     t_write = time.perf_counter()
-    sync_processes(f"icl:{tag}:parts:{os.path.basename(path)}")
+    # the parts barrier doubles as the write-outcome gather: all ranks
+    # (and rank 0 in particular, before it merges) agree on whether every
+    # part was written — computed identically everywhere, so the early
+    # raise below needs no further collective
+    if p > 1:
+        from jax.experimental import multihost_utils
+
+        all_written = bool(multihost_utils.process_allgather(
+            np.int32(write_err is None)).min())
+    else:
+        all_written = write_err is None
     t_barrier = time.perf_counter()
+    if not all_written:
+        LOG.info("gather_parts[%s] rank %d/%d: part write FAILED on %s "
+                 "rank (write %.2f s, outcome gather %.2f s)", tag, k, p,
+                 "this" if write_err is not None else "another",
+                 t_write - t0, t_barrier - t_write)
+        if write_err is not None:
+            raise write_err
+        raise RuntimeError(
+            f"part write failed on another rank for {path} — this rank's "
+            f"part file {part} is kept so the sweep can be retried")
     result = None
     merge_err = None
     if k == 0:

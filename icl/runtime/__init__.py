@@ -119,6 +119,27 @@ def init(topology: str | None = None, seed: int = 0,
                     "available; scaled-down mode falls back to local DP",
                     topology, jax.device_count())
         mesh = build_mesh(None)
+    if jax.process_count() > 1:
+        # every process must own >=1 device of the GLOBAL mesh.  A mesh
+        # smaller than the pod (e.g. --mesh 2 with 2 processes x 2 local
+        # devices) gives some host only non-addressable arrays: that host
+        # crashes at its first host fetch while the others hang at the
+        # next collective/orbax barrier until the distributed-runtime
+        # timeout (observed: rank 1 died in checkpoint restore, rank 0
+        # hung 5 min in orbax's sync).  The check is computed identically
+        # on every rank from the same global device list, so ALL ranks
+        # raise the same error and exit cleanly instead.
+        procs_in_mesh = {d.process_index for d in mesh.devices.flat}
+        missing = sorted(set(range(jax.process_count())) - procs_in_mesh)
+        if missing:
+            m = mesh.shape["model"]
+            raise ValueError(
+                f"--mesh {topology!r} covers {mesh.devices.size} of "
+                f"{jax.device_count()} global devices, leaving "
+                f"process(es) {missing} with no mesh devices — size the "
+                f"mesh to the full pod (e.g. --mesh "
+                f"{jax.device_count() // m}x{m}); a smaller mesh strands "
+                f"those hosts at the first collective")
     LOG.info("runtime: %d device(s) [%s], mesh %s",
              mesh.devices.size, jax.devices()[0].platform,
              dict(mesh.shape))

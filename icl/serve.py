@@ -675,10 +675,38 @@ def main(argv=None) -> None:
                   warmup=args.warmup, batch_window_ms=args.batch_window_ms,
                   max_body_mb=args.max_body_mb, max_items=args.max_items,
                   max_pending=args.max_pending)
+    import signal
+    import threading
+    import time
+
+    if threading.current_thread() is threading.main_thread():
+        def _graceful(signum, frame):
+            # orchestrator stop (SIGTERM from k8s/systemd): stop accepting
+            # and drain instead of dying mid-response.  shutdown() must NOT
+            # run on this thread — it blocks until serve_forever's select
+            # loop acknowledges, which cannot happen while the signal
+            # handler occupies the main thread (deadlock).
+            LOG.info("serve: signal %d — shutting down", signum)
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _graceful)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         httpd.shutdown()
+    # drain: close the listen socket, then give queued + in-flight work a
+    # bounded grace to finish before the daemon handler threads die with
+    # the process (handler threads must stay daemonic — keep-alive clients
+    # hold their connection threads open indefinitely, so joining them
+    # would hang shutdown on an idle client)
+    httpd.server_close()
+    co = httpd.RequestHandlerClass.scorer.coalescer
+    deadline = time.monotonic() + 5.0
+    while (co is not None and co._pending
+           and time.monotonic() < deadline):
+        time.sleep(0.05)
+    time.sleep(0.2)
+    LOG.info("serve: drained, exiting")
 
 
 if __name__ == "__main__":

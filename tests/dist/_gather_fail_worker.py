@@ -1,11 +1,13 @@
-"""Worker for the gather_parts merge-failure test (not a test module).
+"""Worker for the gather_parts failure tests (not a test module).
 
 Two real processes bootstrap jax.distributed, each writes a part file via
-:func:`icl.dist.mesh.gather_parts`, and rank 0's ``merge`` either succeeds
-(mode ``ok``) or raises (mode ``fail``).  The test asserts the contract on
-the exit codes and on which files survive: on failure EVERY rank must
-raise and KEEP its part (so the merge can be retried); on success the
-parts are consumed and only the merged file remains.
+:func:`icl.dist.mesh.gather_parts`, and a failure is injected per ``mode``:
+``ok`` (no failure), ``fail`` (rank 0's merge raises), ``failwrite``
+(rank 1's write_part raises).  The tests assert the contract on the exit
+codes and on which files survive: on failure EVERY rank must raise —
+nobody may hang at a collective or exit clean — and successful ranks KEEP
+their parts (so the merge can be retried); on success the parts are
+consumed and only the merged file remains.
 
 Usage: python _gather_fail_worker.py <pid> <nproc> <port> <out_dir> <mode>
 """
@@ -32,6 +34,8 @@ def main():
     path = os.path.join(out, "merged.out")
 
     def write_part(part_path):
+        if mode == "failwrite" and pid == 1:
+            raise OSError("injected part-write failure")
         with open(part_path, "w") as f:
             f.write(f"rank {pid} payload\n")
 

@@ -53,6 +53,26 @@ def test_merge_failure_raises_on_every_rank_and_keeps_parts(tmp_path):
     assert not os.path.exists(os.path.join(d, "merged.out"))
 
 
+def test_write_failure_raises_on_every_rank_without_hanging(tmp_path):
+    # a rank whose write_part raises must still reach the parts barrier
+    # (now a write-outcome allgather) — before r5-cont the other ranks
+    # hung there until the distributed-runtime timeout; rank 0 must learn
+    # of the failure BEFORE attempting a merge over the missing part
+    d = str(tmp_path / "failwrite")
+    os.makedirs(d)
+    (rc0, out0), (rc1, out1) = _run_pair(d, "failwrite")
+    # rank 1 re-raises its own write error; rank 0 a RuntimeError naming
+    # its kept part — and no "merge" may have been attempted (the merged
+    # file must not exist, not even partially)
+    assert rc1 == 3, out1
+    assert "injected part-write failure" in out1
+    assert rc0 == 4, out0
+    assert "part write failed on another rank" in out0
+    assert os.path.exists(os.path.join(d, "merged.out.part-00000")), out0
+    assert not os.path.exists(os.path.join(d, "merged.out.part-00001"))
+    assert not os.path.exists(os.path.join(d, "merged.out"))
+
+
 def test_merge_success_consumes_parts(tmp_path):
     d = str(tmp_path / "ok")
     os.makedirs(d)

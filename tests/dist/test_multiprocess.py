@@ -102,3 +102,41 @@ def test_two_process_dp_matches_single_process(tmp_path, which):
         # reductions may reassociate the psum → tight tolerance, not bitwise)
         np.testing.assert_allclose(runs[0][k], ref[k], atol=1e-6, rtol=1e-6)
     assert np.isfinite(runs[0]["loss"])
+
+
+def test_undersized_global_mesh_fails_fast_on_every_rank(tmp_path):
+    """A multi-process --mesh smaller than the pod (here: mesh 2 over
+    2 processes x 2 local devices — only process 0's devices in the mesh)
+    used to strand the run: the meshless rank crashed at its first host
+    fetch ("spans non-addressable devices") while the other hung 5 min in
+    the next orbax/collective barrier.  runtime.init now validates that
+    every process owns >=1 global-mesh device, computed identically on
+    all ranks, so BOTH exit fast with the same actionable error."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 2)\n"
+        "from icl import runtime\n"
+        "try:\n"
+        "    runtime.init(topology='2', seed=0,\n"
+        "                 coordinator='localhost:%d',\n"
+        "                 num_processes=2, process_id=int(sys.argv[1]))\n"
+        "except ValueError as e:\n"
+        "    print('MESH-CHECK:', e, flush=True)\n"
+        "    sys.exit(7)\n"
+        "print('unexpectedly initialized', flush=True)\n" % port)
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 7, out
+        assert "MESH-CHECK:" in out and "no mesh devices" in out, out
+        assert "--mesh 4x1" in out, out   # the suggested remedy

@@ -25,6 +25,7 @@ def served(tmp_path_factory):
                    "--lstm_hidden_width", "8", "--head_hidden", "16",
                    "--images_per_batch", "2"])
     httpd = serve(d, port=0)          # ephemeral port
+    httpd.icl_data_dir = d            # for the subprocess SIGTERM test
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_port}", httpd
@@ -453,3 +454,57 @@ def test_stats_counters_exact_under_concurrent_run_group():
         t.join()
     assert scorer.stats["device_calls"] == threads * per_thread
     assert scorer.stats["items"] == threads * per_thread * items_per_call
+
+
+def test_sigterm_drains_and_exits_clean(served):
+    """An orchestrator stop (SIGTERM — k8s/systemd) must shut the real
+    `icl-serve` process down gracefully: stop accepting, drain, exit 0 —
+    not die mid-response with a traceback.  Runs the console entry in a
+    subprocess (signal handlers only install on a main thread)."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    _, httpd = served
+    d = httpd.icl_data_dir
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "icl.serve", "--data_dir", d,
+         "--warmup", "off", "--tasks", "nonvisual", "--port", "0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    lines = []
+    t = threading.Thread(
+        target=lambda: lines.extend(iter(p.stdout.readline, "")),
+        daemon=True)
+    t.start()
+    try:
+        port = None
+        deadline = time.monotonic() + 120
+        while port is None and time.monotonic() < deadline:
+            for ln in list(lines):
+                m = re.search(r"listening on 127\.0\.0\.1:(\d+)", ln)
+                if m:
+                    port = int(m.group(1))
+            time.sleep(0.1)
+        assert port, "".join(lines)
+        # serving works before the signal
+        status, body = _post(f"http://127.0.0.1:{port}", "/score/nonvisual",
+                             {"mentions": [{"id": "m0",
+                                            "tokens": ["w001", "w002"]}]})
+        assert status == 200, body
+        p.send_signal(signal.SIGTERM)
+        assert p.wait(timeout=60) == 0, "".join(lines)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    t.join(timeout=10)
+    out = "".join(lines)
+    assert "shutting down" in out and "drained, exiting" in out, out
+    assert "Traceback" not in out, out
