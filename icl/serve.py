@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time as _time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -203,6 +204,15 @@ class Scorer:
         # `+= 1` is a read-modify-write that drops counts under contention.
         self.stats = {"device_calls": 0, "items": 0,
                       "mention_calls": 0, "mention_items": 0}
+        # per-task device-call latency (ms), last 2048 dispatches each:
+        # /healthz reports count/p50/p99/max so an operator sees a
+        # degradation (e.g. an un-warmed shape compiling mid-service,
+        # 1000x a steady call) from the server itself, without an
+        # external bench.  Same lock discipline as the counters.
+        from collections import deque
+
+        self._lat: dict[str, deque] = {}
+        self._lat_maxlen = 2048
         self._stats_lock = threading.Lock()
         self.coalescer = (None if batch_window_ms < 0 else
                           _Coalescer(self._run_group,
@@ -321,8 +331,10 @@ class Scorer:
         with self._stats_lock:
             self.stats["mention_calls"] += 1
             self.stats["mention_items"] += n
+        t0 = _time.perf_counter()
         probs = np.asarray(t["predict"](t["params"], self.table,
                                         jnp.asarray(tok), jnp.asarray(ln)))
+        self._record_latency(task, (_time.perf_counter() - t0) * 1e3)
         return {
             "class_order": list(t["classes"]),
             "scores": [{"id": m.get("id", str(r)),
@@ -411,10 +423,40 @@ class Scorer:
             with self._stats_lock:   # request threads race here when
                 self.stats["device_calls"] += 1  # coalescing is disabled
                 self.stats["items"] += len(chunk)
+            t0 = _time.perf_counter()
             probs = np.asarray(t["predict"](t["params"], self.table,
                                             self._stack_arrays(chunk)))
+            self._record_latency(task, (_time.perf_counter() - t0) * 1e3)
             rows.extend(probs[r] for r in range(len(chunk)))
         return rows
+
+    def _record_latency(self, task: str, ms: float) -> None:
+        from collections import deque
+
+        with self._stats_lock:
+            d = self._lat.get(task)
+            if d is None:
+                d = self._lat[task] = deque(maxlen=self._lat_maxlen)
+            d.append(ms)
+
+    def latency_summary(self) -> dict:
+        """count/p50/p99/max (ms) per task over the last dispatches; the
+        count is LIFETIME dispatches (== the matching calls counters), the
+        percentiles cover the retained window."""
+        with self._stats_lock:
+            snap = {k: list(d) for k, d in self._lat.items()}
+            calls = dict(self.stats)
+        out = {}
+        for task, xs in snap.items():
+            xs.sort()
+            n = len(xs)
+            out[task] = {
+                "window": n,
+                "p50_ms": round(xs[n // 2], 2),
+                "p99_ms": round(xs[min(n - 1, int(n * 0.99))], 2),
+                "max_ms": round(xs[-1], 2),
+            }
+        return {"latency_ms": out, "counters": calls}
 
     def _score_images(self, task: str, prepped: list) -> list:
         """Per-image results via the coalescer (cross-request batching) or
@@ -534,11 +576,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
-            with self.scorer._stats_lock:   # consistent counter snapshot
-                stats = dict(self.scorer.stats)
+            summary = self.scorer.latency_summary()   # one lock snapshot
             self._reply(200, {"status": "ok",
                               "tasks": sorted(self.scorer.tasks),
-                              "coalescer": stats})
+                              "coalescer": summary["counters"],
+                              "latency_ms": summary["latency_ms"]})
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 

@@ -431,6 +431,8 @@ def test_stats_counters_exact_under_concurrent_run_group():
     scorer = Scorer.__new__(Scorer)   # bypass model loading; wire minimum
     scorer.stats = {"device_calls": 0, "items": 0}
     scorer._stats_lock = th.Lock()
+    scorer._lat = {}
+    scorer._lat_maxlen = 2048
     scorer.table = None
     cap = _IMG_SPEC.boundaries[-1]
     scorer.tasks = {"t": {
@@ -508,3 +510,25 @@ def test_sigterm_drains_and_exits_clean(served):
     out = "".join(lines)
     assert "shutting down" in out and "drained, exiting" in out, out
     assert "Traceback" not in out, out
+
+
+def test_healthz_latency_telemetry(served):
+    """Operators get device-call latency (p50/p99/max over a bounded
+    window) per task from the server itself — a mid-service compile or
+    degradation shows up without an external bench."""
+    url, _ = served
+    s, _b = _post(url, "/score/relation", {"images": [{
+        "id": "lat", "captions": [["w001", "w002"]],
+        "mentions": [{"caption": 0, "first": 0, "last": 0},
+                     {"caption": 0, "first": 1, "last": 1}]}]})
+    assert s == 200
+    s, _b = _post(url, "/score/nonvisual",
+                  {"mentions": [{"id": "m", "tokens": ["w001"]}]})
+    assert s == 200
+    with urllib.request.urlopen(url + "/healthz") as r:
+        body = json.loads(r.read())
+    lat = body["latency_ms"]
+    for task in ("relation", "nonvisual"):
+        row = lat[task]
+        assert row["window"] >= 1
+        assert 0 < row["p50_ms"] <= row["p99_ms"] <= row["max_ms"], row
