@@ -127,7 +127,8 @@ def drive(port: int, body: bytes, concurrency: int, requests: int) -> dict:
     for c in clients:
         if c.err:
             raise c.err
-    stats1 = _health(port).get("coalescer", {})
+    health1 = _health(port)
+    stats1 = health1.get("coalescer", {})
     lats = sorted(x for c in clients for x in c.lat_ms)
     n = len(lats)
     res = {"concurrency": concurrency, "requests": n,
@@ -140,6 +141,12 @@ def drive(port: int, body: bytes, concurrency: int, requests: int) -> dict:
     items = stats1.get("items", 0) - stats0.get("items", 0)
     if calls:
         res["items_per_device_call"] = round(items / calls, 2)
+    # server-side device-dispatch latency (windowed p50/p99 from /healthz):
+    # client p50 - server p50 ≈ queueing + coalescing window + HTTP
+    srv = health1.get("latency_ms", {}).get("relation")
+    if srv:
+        res["server_dispatch_p50_ms"] = srv["p50_ms"]
+        res["server_dispatch_p99_ms"] = srv["p99_ms"]
     return res
 
 
