@@ -1,0 +1,64 @@
+"""icl-export: checkpoint → flat .npz round-trip fidelity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    from icl.cli import relation
+    from icl.testing.synth import SynthConfig, generate_dataset
+
+    d = tmp_path_factory.mktemp("export")
+    generate_dataset(str(d), "train", SynthConfig(num_images=6, seed=9))
+    model_dir = str(d / "m.model")
+    relation.main(["--train", "--data_dir", str(d), "--epochs", "1",
+                   "--images_per_batch", "2", "--lstm_hidden_width", "8",
+                   "--head_hidden", "16", "--dropout", "0.0", "--seed", "3",
+                   "--model_file", model_dir])
+    return d, model_dir
+
+
+def test_export_roundtrips_every_leaf(trained, tmp_path):
+    import orbax.checkpoint as ocp
+
+    from icl.cli.export import export_checkpoint, flatten_params, main
+
+    d, model_dir = trained
+    out = str(tmp_path / "w.npz")
+    main(["--model_file", model_dir, "--out", out])
+
+    with ocp.CheckpointManager(os.path.abspath(model_dir)) as mgr:
+        step = mgr.latest_step()
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    want = flatten_params(restored["params"])
+    with np.load(out) as z:
+        assert sorted(z.files) == sorted(want)
+        for k in want:
+            got = z[k]
+            assert got.dtype == np.asarray(want[k]).dtype, k
+            np.testing.assert_array_equal(got, want[k])   # byte-identical
+
+    man = json.load(open(out + ".manifest.json"))
+    assert man["step"] == step
+    assert man["model_config"]["task"] == "relation"
+    assert man["total_parameters"] == sum(
+        int(np.prod(v["shape"])) for v in man["params"].values())
+    # the pinned layout contract: head-dense path present under its name
+    assert any("head_dense" in k for k in man["params"]), man["params"].keys()
+
+    # --step validation: an absent step is a clean error, not a crash
+    with pytest.raises(ValueError, match="not in checkpoints"):
+        export_checkpoint(model_dir, str(tmp_path / "x.npz"), step=step + 99)
+
+
+def test_export_empty_dir_is_clean_error(tmp_path):
+    from icl.cli.export import export_checkpoint
+
+    empty = tmp_path / "nothing.model"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no checkpoint steps"):
+        export_checkpoint(str(empty), str(tmp_path / "w.npz"))
