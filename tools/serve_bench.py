@@ -141,12 +141,14 @@ def drive(port: int, body: bytes, concurrency: int, requests: int) -> dict:
     items = stats1.get("items", 0) - stats0.get("items", 0)
     if calls:
         res["items_per_device_call"] = round(items / calls, 2)
-    # server-side device-dispatch latency (windowed p50/p99 from /healthz):
-    # client p50 - server p50 ≈ queueing + coalescing window + HTTP
+    # server-side device-dispatch p50 from /healthz: client p50 − server
+    # p50 ≈ queueing + coalescing window + HTTP.  The telemetry's p99 is
+    # deliberately NOT a bench column: its lifetime window still holds the
+    # warm-lap compiles (~2 s — the very events it exists to surface), so
+    # per-level tail latency is the client-side p99 above.
     srv = health1.get("latency_ms", {}).get("relation")
     if srv:
         res["server_dispatch_p50_ms"] = srv["p50_ms"]
-        res["server_dispatch_p99_ms"] = srv["p99_ms"]
     return res
 
 
