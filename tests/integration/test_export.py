@@ -55,6 +55,65 @@ def test_export_roundtrips_every_leaf(trained, tmp_path):
         export_checkpoint(model_dir, str(tmp_path / "x.npz"), step=step + 99)
 
 
+def test_import_roundtrip_predicts_byte_identically(trained, tmp_path):
+    """train → export → import → predict ≡ predicting from the original
+    checkpoint dir, byte-for-byte (.scores AND the restored step), and the
+    imported dir carries the model_config so no dimension flags are
+    needed beyond what predict always takes."""
+    from icl.cli import relation
+    from icl.cli.export import main as export_main
+    from icl.cli.import_ import main as import_main
+
+    d, model_dir = trained
+    out = str(tmp_path / "w.npz")
+    export_main(["--model_file", model_dir, "--out", out])
+    imported = str(tmp_path / "imported.model")
+    import_main(["--npz", out, "--model_file", imported])
+
+    mc = json.load(open(os.path.join(imported, "model_config.json")))
+    assert mc["task"] == "relation"
+
+    common = ["--data_dir", str(d), "--data_split", "train",
+              "--images_per_batch", "2", "--lstm_hidden_width", "8",
+              "--head_hidden", "16"]
+    s_orig = str(tmp_path / "orig.scores")
+    s_imp = str(tmp_path / "imported.scores")
+    relation.main(["--predict", *common, "--model_file", model_dir,
+                   "--scores_file", s_orig])
+    relation.main(["--predict", *common, "--model_file", imported,
+                   "--scores_file", s_imp])
+    with open(s_orig, "rb") as a, open(s_imp, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_import_rejects_manifest_mismatch_and_occupied_dir(trained,
+                                                           tmp_path):
+    from icl.cli.export import main as export_main
+    from icl.cli.import_ import import_checkpoint
+
+    _, model_dir = trained
+    out = str(tmp_path / "w.npz")
+    export_main(["--model_file", model_dir, "--out", out])
+
+    # tamper: drop one manifest entry — the importer must refuse rather
+    # than write a checkpoint that silently diverges from its description
+    man_path = out + ".manifest.json"
+    man = json.load(open(man_path))
+    k = sorted(man["params"])[0]
+    del man["params"][k]
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        import_checkpoint(out, str(tmp_path / "x.model"))
+
+    # an already-populated model dir is never clobbered (fresh untampered
+    # export so the manifest gate above doesn't mask this one)
+    out2 = str(tmp_path / "w2.npz")
+    export_main(["--model_file", model_dir, "--out", out2])
+    with pytest.raises(ValueError, match="already holds checkpoint steps"):
+        import_checkpoint(out2, model_dir)
+
+
 def test_export_empty_dir_is_clean_error(tmp_path):
     from icl.cli.export import export_checkpoint
 
