@@ -114,6 +114,31 @@ def test_import_rejects_manifest_mismatch_and_occupied_dir(trained,
         import_checkpoint(out2, model_dir)
 
 
+def test_finetune_resumes_from_imported_dir(trained, tmp_path):
+    """The reference's load-weights-and-continue pattern: an imported
+    directory is a valid --resume auto starting point for training (Adam
+    moments restart from zeros — the import's documented contract), and
+    training advances the step past the imported one."""
+    from icl.cli import relation
+    from icl.cli.export import main as export_main
+    from icl.cli.import_ import main as import_main
+    from icl.train.checkpoint import Checkpointer
+
+    d, model_dir = trained
+    out = str(tmp_path / "w.npz")
+    export_main(["--model_file", model_dir, "--out", out])
+    imported = str(tmp_path / "ft.model")
+    import_main(["--npz", out, "--model_file", imported])
+    step0 = Checkpointer(imported).latest_step
+    assert step0 is not None and step0 > 0
+
+    relation.main(["--train", "--data_dir", str(d), "--epochs", "1",
+                   "--images_per_batch", "2", "--lstm_hidden_width", "8",
+                   "--head_hidden", "16", "--dropout", "0.0", "--seed", "4",
+                   "--resume", "auto", "--model_file", imported])
+    assert Checkpointer(imported).latest_step > step0
+
+
 def test_export_empty_dir_is_clean_error(tmp_path):
     from icl.cli.export import export_checkpoint
 
