@@ -59,9 +59,15 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> dict:
     return tree
 
 
-def import_checkpoint(npz: str, model_dir: str,
-                      step: int | None = None, seed: int = 0) -> int:
-    """Write ``model_dir`` as a restorable checkpoint; returns the step."""
+def import_checkpoint(npz: str, model_dir: str | None,
+                      step: int | None = None, seed: int = 0,
+                      validate_only: bool = False) -> int:
+    """Write ``model_dir`` as a restorable checkpoint; returns the step.
+
+    With ``validate_only`` the archive/manifest consistency checks run
+    (keys form a tree, every leaf matches the manifest's shape/dtype) but
+    nothing is written — the `icl-check` role for weight archives.
+    """
     import jax
     import optax
     import orbax.checkpoint as ocp
@@ -71,10 +77,11 @@ def import_checkpoint(npz: str, model_dir: str,
     if os.path.exists(man_path):
         with open(man_path) as f:
             manifest = json.load(f)
-    elif step is None:
-        LOG.warning("no manifest sidecar at %s — importing as step 0 with "
+    else:
+        LOG.warning("no manifest sidecar at %s — importing as step %s with "
                     "no model_config.json (predict will need explicit "
-                    "dimension flags)", man_path)
+                    "dimension flags)", man_path,
+                    step if step is not None else 0)
 
     with np.load(npz) as z:
         flat = {k: np.asarray(z[k]) for k in z.files}
@@ -102,6 +109,14 @@ def import_checkpoint(npz: str, model_dir: str,
 
     if step is None:
         step = int(manifest["step"]) if manifest else 0
+    if validate_only:
+        LOG.info("validate: %s OK — %d tensors / %s parameters, step %d, "
+                 "%s manifest", npz, len(flat),
+                 f"{sum(v.size for v in flat.values()):,}", step,
+                 "consistent" if manifest else "NO")
+        return step
+    if model_dir is None:
+        raise ValueError("model_dir is required unless validate_only")
     # the exact payload Checkpointer.save writes (icl/train/checkpoint.py):
     # the predict CLIs restore it into a create_train_state skeleton, so
     # the optimizer state must have Adam's structure — fresh zeros (the lr
@@ -143,12 +158,17 @@ def main(argv=None) -> None:
         description="Rebuild a predict/serve-loadable model directory from "
                     "an icl-export .npz (+ .manifest.json)")
     p.add_argument("--npz", required=True, help="icl-export archive")
-    p.add_argument("--model_file", required=True,
+    p.add_argument("--model_file", default=None,
                    help="output checkpoint directory (must be fresh)")
     p.add_argument("--step", type=int, default=None,
                    help="step number to import as (default: manifest step)")
+    p.add_argument("--validate_only", action="store_true",
+                   help="check archive/manifest consistency, write nothing")
     args = p.parse_args(argv)
-    import_checkpoint(args.npz, args.model_file, args.step)
+    if not args.validate_only and args.model_file is None:
+        p.error("--model_file is required unless --validate_only")
+    import_checkpoint(args.npz, args.model_file, args.step,
+                      validate_only=args.validate_only)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,13 @@ def test_import_rejects_manifest_mismatch_and_occupied_dir(trained,
     with pytest.raises(ValueError, match="already holds checkpoint steps"):
         import_checkpoint(out2, model_dir)
 
+    # --validate_only: lints without writing (and still rejects tampering)
+    from icl.cli.import_ import main as import_main
+    import_main(["--npz", out2, "--validate_only"])
+    assert not os.path.exists(str(tmp_path / "never.model"))
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        import_checkpoint(out, None, validate_only=True)
+
 
 def test_finetune_resumes_from_imported_dir(trained, tmp_path):
     """The reference's load-weights-and-continue pattern: an imported
