@@ -146,6 +146,35 @@ def test_finetune_resumes_from_imported_dir(trained, tmp_path):
     assert Checkpointer(imported).latest_step > step0
 
 
+def test_import_roundtrip_nonvisual_family(trained, tmp_path):
+    """The export/import machinery is param-tree-generic: round-trip a
+    NONVISUAL (FFNN) checkpoint — a different tree shape than relation —
+    and predict byte-identically from the imported dir."""
+    from icl.cli import nonvisual
+    from icl.cli.export import main as export_main
+    from icl.cli.import_ import main as import_main
+
+    d, _ = trained
+    md = str(tmp_path / "nv.model")
+    nonvisual.main(["--train", "--data_dir", str(d), "--epochs", "2",
+                    "--batch_size", "32", "--hidden_width", "16",
+                    "--model_file", md])
+    out = str(tmp_path / "nv.npz")
+    export_main(["--model_file", md, "--out", out])
+    imported = str(tmp_path / "nv_imported.model")
+    import_main(["--npz", out, "--model_file", imported])
+
+    common = ["--data_dir", str(d), "--data_split", "train",
+              "--hidden_width", "16"]
+    s1, s2 = str(tmp_path / "nv1.scores"), str(tmp_path / "nv2.scores")
+    nonvisual.main(["--predict", *common, "--model_file", md,
+                    "--scores_file", s1])
+    nonvisual.main(["--predict", *common, "--model_file", imported,
+                    "--scores_file", s2])
+    with open(s1, "rb") as a, open(s2, "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_export_empty_dir_is_clean_error(tmp_path):
     from icl.cli.export import export_checkpoint
 
